@@ -1,0 +1,86 @@
+"""Text-validation Column expressions.
+
+Re-expresses the checks of the reference text-validation pack
+(``/root/reference/text_validation_pack/main.py:36-119``) as native Spark
+Column predicates — one wide aggregation pass instead of six pandas
+series scans per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lexical null placeholders recognized by the reference
+# (text_validation_pack/main.py:20-33), matched case-insensitively.
+NULL_PLACEHOLDERS = [
+    "null",
+    "none",
+    "n/a",
+    "na",
+    "nan",
+    "-",
+    "--",
+    "---",
+    ".",
+    "..",
+    "undefined",
+    "missing",
+    "unknown",
+    "#n/a",
+    "#na",
+    "#null!",
+    "(blank)",
+    "(empty)",
+    "<null>",
+]
+
+
+def text_length(c: Column) -> Column:
+    """Character length (F1 in SURVEY §2.8)."""
+    return F.length(c)
+
+
+def is_empty(c: Column) -> Column:
+    """Empty-string test; NULLs are not empty (reference drops them first)."""
+    return c == F.lit("")
+
+
+def is_whitespace_only(c: Column) -> Column:
+    """Whitespace-only but not empty (reference subtracts the empty count,
+    text_validation_pack/main.py:104-105)."""
+    return (F.trim(c) == F.lit("")) & (c != F.lit(""))
+
+
+def is_null_placeholder(c: Column) -> Column:
+    """Case-insensitive membership in the placeholder lexicon.
+
+    Deliberately an Or-chain rather than ``isin``: above
+    ``spark.sql.optimizer.inSetConversionThreshold`` (10) ``isin`` plans an
+    ``InSet`` whose generated code takes ~25 s to JIT on first use — the
+    Or-chain compiles instantly and short-circuits the same way.
+    """
+    lc = F.lower(c)
+    pred = F.lit(False)
+    for p in NULL_PLACEHOLDERS:
+        pred = pred | (lc == F.lit(p))
+    return pred
+
+
+def is_surrounded_by_whitespace(c: Column) -> Column:
+    """Value differs from its trimmed form (F2)."""
+    return c != F.trim(c)
+
+
+def word_count(c: Column) -> Column:
+    """Whitespace-token count with pandas ``str.split()`` semantics:
+    runs of whitespace delimit, leading/trailing ignored, ''/whitespace → 0
+    (text_validation_pack/main.py:113)."""
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def count_if(pred: Column) -> Column:
+    """Aggregate: number of rows where ``pred`` holds (NULL-safe: NULL → 0)."""
+    return F.sum(F.coalesce(pred.cast("long"), F.lit(0)))

@@ -1,0 +1,143 @@
+"""Heuristic quality rules for web text (Gopher/C4-style, re-expressed from
+the reference packs' text checks — SURVEY §2.4 A8, §2.8 F1-F5).
+
+Everything here is a native Column expression (JVM-side, codegen'd); each
+rule also has an ANSI-SQL rendering so the whole rule set is DuckDB-checkable.
+Model-backed signals (langid confidence, perplexity) join in at the pipeline
+level (packs_spark.pipeline.webtext) — they are pandas-UDF stages and are
+verified by pytest against a pandas oracle instead.
+
+Default thresholds (documented in the pipeline README):
+    min_chars=50, max_chars=100_000, min_words=10, max_word_len=30,
+    max_symbol_ratio=0.3, min_stopword_ratio=0.01, min_distinct_ratio=0.3
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Compact English stopword list used for the stopword-density signal (public
+# top-frequency words; intentionally small — the signal needs density, not
+# linguistic completeness).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+DEFAULTS = dict(
+    min_chars=50,
+    max_chars=100_000,
+    min_words=10,
+    max_symbol_ratio=0.30,
+    min_stopword_ratio=0.01,
+    min_distinct_ratio=0.30,
+)
+
+
+def words(c: Column) -> Column:
+    """Whitespace tokens, '' → empty array (pandas str.split parity)."""
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def n_chars(c: Column) -> Column:
+    return F.length(c)
+
+
+def n_words(c: Column) -> Column:
+    return F.size(words(c))
+
+
+def symbol_ratio(c: Column) -> Column:
+    """Non-alphanumeric, non-whitespace chars / total chars (0 for empty)."""
+    total = F.length(c)
+    sym = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(sym / total)
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of lowercase tokens found in STOPWORDS (0 if no tokens)."""
+    w = words(F.lower(c))
+    n = F.size(w)
+    hits = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS])))
+    # array_intersect dedups; count actual token hits instead:
+    hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def distinct_word_ratio(c: Column) -> Column:
+    """|distinct tokens| / |tokens| — repetition/boilerplate signal (1.0 for
+    empty docs so they fail on length, not repetition)."""
+    w = words(F.lower(c))
+    n = F.size(w)
+    return F.when(n == 0, F.lit(1.0)).otherwise(F.size(F.array_distinct(w)) / n)
+
+
+def keep_mask(c: Column, **thresholds) -> Column:
+    """Conjunction of all heuristic rules — True = keep."""
+    t = {**DEFAULTS, **thresholds}
+    return (
+        c.isNotNull()
+        & (n_chars(c) >= t["min_chars"])
+        & (n_chars(c) <= t["max_chars"])
+        & (n_words(c) >= t["min_words"])
+        & (symbol_ratio(c) <= t["max_symbol_ratio"])
+        & (stopword_ratio(c) >= t["min_stopword_ratio"])
+        & (distinct_word_ratio(c) >= t["min_distinct_ratio"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL renderings (DuckDB oracle).  Token arrays via
+# regexp_split_to_array; list_filter/list_distinct mirror the Spark HOFs.
+# ---------------------------------------------------------------------------
+
+
+def sql_words(col: str) -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim({col}), '\\s+') END"
+    )
+
+
+def sql_n_words(col: str) -> str:
+    return f"length({sql_words(col)})"
+
+
+def sql_symbol_ratio(col: str) -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
+        f"length(regexp_replace({col}, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length({col}) END"
+    )
+
+
+def sql_stopword_ratio(col: str) -> str:
+    w = sql_words(f"lower({col})")
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return (
+        f"CASE WHEN {sql_n_words(col)} = 0 THEN 0.0 ELSE "
+        f"length(list_filter({w}, x -> list_contains({sw}, x))) * 1.0 / {sql_n_words(col)} END"
+    )
+
+
+def sql_distinct_word_ratio(col: str) -> str:
+    w = sql_words(f"lower({col})")
+    return (
+        f"CASE WHEN {sql_n_words(col)} = 0 THEN 1.0 ELSE "
+        f"length(list_distinct({w})) * 1.0 / {sql_n_words(col)} END"
+    )
+
+
+def sql_keep_mask(col: str, **thresholds) -> str:
+    t = {**DEFAULTS, **thresholds}
+    return (
+        f"({col} IS NOT NULL"
+        f" AND length({col}) >= {t['min_chars']}"
+        f" AND length({col}) <= {t['max_chars']}"
+        f" AND {sql_n_words(col)} >= {t['min_words']}"
+        f" AND {sql_symbol_ratio(col)} <= {t['max_symbol_ratio']}"
+        f" AND {sql_stopword_ratio(col)} >= {t['min_stopword_ratio']}"
+        f" AND {sql_distinct_word_ratio(col)} >= {t['min_distinct_ratio']})"
+    )

@@ -1,0 +1,481 @@
+"""Registry entries for the pack-equivalent operators (SURVEY.md §2).
+
+Each query is the operator's result set over the driver testdata tables;
+the oracle string is the DuckDB-equivalent SQL.  Integer-derived metrics
+are exact in both engines; double-valued metrics are rounded identically
+on both sides (or computed via exact DECIMAL sums) so value hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from packs_spark.functions import numeric as NUM
+from packs_spark.functions import text as TX
+from packs_spark.functions.patterns import FORMAT_PATTERNS, PII_PATTERNS
+from packs_spark.operators import text_validation
+from packs_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# text_validation pack (reference text_validation_pack/main.py:36-119)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_validation_documents",
+    oracle=text_validation.oracle_sql_for(
+        "documents", ["text", "lang", "source"], min_length=2, max_length=500
+    ),
+)
+def q_text_validation(spark, sf_dir):
+    df = load(spark, sf_dir, "documents")
+    return text_validation.summary(
+        df, ["text", "lang", "source"], min_length=2, max_length=500
+    )
+
+
+# ---------------------------------------------------------------------------
+# completeness / profiling basics (profiling_pack/main.py:306-432)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "completeness_customer",
+    oracle="""
+WITH t AS (SELECT count(*) AS n FROM customer)
+SELECT col AS "column", nn AS non_null, (SELECT n FROM t) - nn AS missing,
+       round(nn * 1.0 / (SELECT n FROM t), 4) AS completeness
+FROM (
+  SELECT 'c_custkey' AS col, count(c_custkey) AS nn FROM customer
+  UNION ALL SELECT 'c_name', count(c_name) FROM customer
+  UNION ALL SELECT 'c_nationkey', count(c_nationkey) FROM customer
+  UNION ALL SELECT 'c_acctbal', count(c_acctbal) FROM customer
+  UNION ALL SELECT 'c_mktsegment', count(c_mktsegment) FROM customer
+)
+""",
+)
+def q_completeness(spark, sf_dir):
+    df = load(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols],
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"nn_{c}").alias("non_null"),
+            (F.col("__n") - F.col(f"nn_{c}")).alias("missing"),
+            F.round(F.col(f"nn_{c}") / F.col("__n"), 4).alias("completeness"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.inline(F.array(*structs)))
+
+
+@register(
+    "profiling_table_stats",
+    oracle="""
+SELECT count(*) AS n_rows,
+       6 AS n_var,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_missing,
+       round((sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END)
+          + sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)) * 1.0 / (count(*) * 6), 6)
+         AS p_cells_missing,
+       count(DISTINCT event_type) AS n_distinct_event_type,
+       count(DISTINCT user_id) AS n_distinct_user
+FROM events
+""",
+)
+def q_profiling_stats(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    cols = df.columns
+    n_var = len(cols)
+    missing = sum(
+        F.sum(F.col(c).isNull().cast("long")) for c in cols
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_var).alias("n_var"),
+        missing.alias("n_cells_missing"),
+        F.round(missing / (F.count(F.lit(1)) * n_var), 6).alias("p_cells_missing"),
+        F.countDistinct("event_type").alias("n_distinct_event_type"),
+        F.countDistinct("user_id").alias("n_distinct_user"),
+    )
+
+
+@register(
+    "profiling_numeric_stats",
+    oracle="""
+SELECT 'l_quantity' AS "column",
+  count(l_quantity) AS non_null,
+  round(min(l_quantity), 4) AS min_value,
+  round(max(l_quantity), 4) AS max_value,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_value,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(l_quantity), 4) AS mean_value,
+  round(quantile_cont(l_quantity, 0.10), 4) AS p10,
+  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+  round(quantile_cont(l_quantity, 0.90), 4) AS p90
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+  count(l_discount),
+  round(min(l_discount), 4),
+  round(max(l_discount), 4),
+  round(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE), 2),
+  round(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(l_discount), 4),
+  round(quantile_cont(l_discount, 0.10), 4),
+  round(quantile_cont(l_discount, 0.25), 4),
+  round(quantile_cont(l_discount, 0.75), 4),
+  round(quantile_cont(l_discount, 0.90), 4)
+FROM lineitem
+""",
+)
+def q_profiling_numeric(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+
+    def one(col):
+        c = F.col(col)
+        dec = F.sum(c.cast("decimal(28,4)"))
+        return df.agg(
+            F.lit(col).alias("column"),
+            F.count(c).alias("non_null"),
+            F.round(F.min(c), 4).alias("min_value"),
+            F.round(F.max(c), 4).alias("max_value"),
+            F.round(dec.cast("double"), 2).alias("sum_value"),
+            F.round(dec.cast("double") / F.count(c), 4).alias("mean_value"),
+            F.round(F.expr(f"percentile({col}, 0.10)"), 4).alias("p10"),
+            F.round(F.expr(f"percentile({col}, 0.25)"), 4).alias("p25"),
+            F.round(F.expr(f"percentile({col}, 0.75)"), 4).alias("p75"),
+            F.round(F.expr(f"percentile({col}, 0.90)"), 4).alias("p90"),
+        )
+
+    return one("l_quantity").unionByName(one("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# numeric_validation pack (numeric_validation_pack/main.py:20-60)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "numeric_validation_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS "column",
+  CAST(coalesce(sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS below_min,
+  CAST(coalesce(sum(CASE WHEN l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT) AS above_max,
+  round((count(l_quantity) - coalesce(sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END), 0)
+        - coalesce(sum(CASE WHEN l_quantity > 50 THEN 1 ELSE 0 END), 0)) * 1.0
+        / count(l_quantity), 4) AS in_range_percent,
+  CAST(coalesce(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS negative_count
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+  CAST(coalesce(sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+  CAST(coalesce(sum(CASE WHEN l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+  round((count(l_discount) - coalesce(sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END), 0)
+        - coalesce(sum(CASE WHEN l_discount > 0.1 THEN 1 ELSE 0 END), 0)) * 1.0
+        / count(l_discount), 4),
+  CAST(coalesce(sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM lineitem
+""",
+)
+def q_numeric_validation(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    rules = [("l_quantity", 1, 50), ("l_discount", 0, 0.1)]
+    parts = []
+    for col, lo, hi in rules:
+        c = F.col(col)
+        parts.append(
+            df.agg(
+                F.lit(col).alias("column"),
+                NUM.below_min(c, lo).alias("below_min"),
+                NUM.above_max(c, hi).alias("above_max"),
+                NUM.in_range_percent(c, lo, hi).alias("in_range_percent"),
+                NUM.negative_count(c).alias("negative_count"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pattern_validation pack (pattern_validation_pack/main.py:40-57)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pattern_validation_builtin",
+    oracle=f"""
+SELECT 'o_orderpriority' AS "column", 'alphanumeric' AS pattern,
+  CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+       AND NOT regexp_matches(o_orderpriority, '{FORMAT_PATTERNS["alphanumeric"]}')
+       THEN 1 ELSE 0 END), 0) AS BIGINT) AS invalid_count,
+  round(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+       AND NOT regexp_matches(o_orderpriority, '{FORMAT_PATTERNS["alphanumeric"]}')
+       THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS invalid_percent
+FROM orders
+UNION ALL
+SELECT 'event_type', 'alphanumeric',
+  CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL AND event_type <> ''
+       AND NOT regexp_matches(event_type, '{FORMAT_PATTERNS["alphanumeric"]}')
+       THEN 1 ELSE 0 END), 0) AS BIGINT),
+  round(coalesce(sum(CASE WHEN event_type IS NOT NULL AND event_type <> ''
+       AND NOT regexp_matches(event_type, '{FORMAT_PATTERNS["alphanumeric"]}')
+       THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4)
+FROM events
+""",
+)
+def q_pattern_validation(spark, sf_dir):
+    from packs_spark.functions.patterns import matches_format
+
+    def one(table, col, pat_name):
+        df = load(spark, sf_dir, table)
+        invalid = TX.count_if(~matches_format(F.col(col), FORMAT_PATTERNS[pat_name]))
+        return df.agg(
+            F.lit(col).alias("column"),
+            F.lit(pat_name).alias("pattern"),
+            invalid.alias("invalid_count"),
+            F.round(invalid / F.count(F.lit(1)), 4).alias("invalid_percent"),
+        )
+
+    return one("orders", "o_orderpriority", "alphanumeric").unionByName(
+        one("events", "event_type", "alphanumeric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_scanner pack (pii_scanner_pack/main.py:37-55)
+# ---------------------------------------------------------------------------
+
+_PII_SQL_BRANCHES = "\nUNION ALL\n".join(
+    f"""SELECT '{key}' AS pattern,
+  CAST(coalesce(sum(CASE WHEN regexp_matches(text, '{rx.replace("'", "''")}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS hit_rows
+FROM documents"""
+    for key, rx in PII_PATTERNS
+    if key in ("email", "ipv4", "usa_ssn", "usa_zipcode", "iban")
+)
+
+
+@register("pii_scan_documents", oracle=_PII_SQL_BRANCHES)
+def q_pii_scan(spark, sf_dir):
+    from packs_spark.functions.patterns import contains_pattern
+
+    df = load(spark, sf_dir, "documents")
+    keep = [
+        (k, rx)
+        for k, rx in PII_PATTERNS
+        if k in ("email", "ipv4", "usa_ssn", "usa_zipcode", "iban")
+    ]
+    wide = df.agg(
+        *[
+            F.sum(contains_pattern(F.col("text"), rx).cast("long")).alias(f"h_{k}")
+            for k, rx in keep
+        ]
+    )
+    structs = [
+        F.struct(F.lit(k).alias("pattern"), F.col(f"h_{k}").alias("hit_rows"))
+        for k, _ in keep
+    ]
+    return wide.select(F.inline(F.array(*structs)))
+
+
+# ---------------------------------------------------------------------------
+# duplicates_finder pack (duplicates_finder_pack/main.py:45-57,161-173)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicates_lineitem",
+    oracle="""
+SELECT count(*) AS total_rows,
+       count(DISTINCT (l_partkey, l_suppkey)) AS distinct_keys,
+       count(*) - count(DISTINCT (l_partkey, l_suppkey)) AS duplicate_rows,
+       round((count(*) - count(DISTINCT (l_partkey, l_suppkey))) * 1.0 / count(*), 4)
+         AS duplicate_percent,
+       round(count(DISTINCT (l_partkey, l_suppkey)) * 1.0 / count(*), 2) AS score
+FROM lineitem
+""",
+)
+def q_duplicates(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    keys = F.struct("l_partkey", "l_suppkey")
+    n = F.count(F.lit(1))
+    d = F.countDistinct(keys)
+    return df.agg(
+        n.alias("total_rows"),
+        d.alias("distinct_keys"),
+        (n - d).alias("duplicate_rows"),
+        F.round((n - d) / n, 4).alias("duplicate_percent"),
+        F.round(d / n, 2).alias("score"),
+    )
+
+
+@register(
+    "duplicate_rows_export",
+    oracle="""
+SELECT l_partkey, l_suppkey, cnt AS dup_count
+FROM (SELECT l_partkey, l_suppkey, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2) t
+WHERE cnt > 3
+""",
+)
+def q_duplicate_rows(spark, sf_dir):
+    """J1: keys with count>k joined back — here the groupBy result itself
+    (the reference exports full duplicate rows capped at 10k; the row fetch
+    is the J1 inner join exercised in tests/test_operators.py)."""
+    df = load(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential_integrity pack (referential_integrity_pack/main.py:26-79)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_orphans",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS BIGINT) AS orphan_count,
+       (SELECT count(*) FROM orders) AS child_count,
+       round((SELECT count(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             * 1.0 / (SELECT count(*) FROM orders), 4) AS orphan_ratio
+""",
+)
+def q_referential(spark, sf_dir):
+    child = load(spark, sf_dir, "orders")
+    parent = load(spark, sf_dir, "customer")
+    # left_anti against the (small, broadcast) parent key set — J2.
+    orphans = child.where(F.col("o_custkey").isNotNull()).join(
+        F.broadcast(parent.select("c_custkey").dropDuplicates()),
+        child.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    n_child = child.count()
+    return orphans.agg(
+        F.count(F.lit(1)).alias("orphan_count"),
+        F.lit(n_child).alias("child_count"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_child)), 4).alias("orphan_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeliness pack (timeliness_pack/main.py:64-67,113-136)
+# ---------------------------------------------------------------------------
+
+_TIMELINESS_NOW = "2026-01-01"  # fixed reference instant for determinism
+
+
+@register(
+    "timeliness_orders",
+    oracle=f"""
+SELECT CAST(min(o_orderdate) AS VARCHAR) AS earliest,
+       CAST(max(o_orderdate) AS VARCHAR) AS latest,
+       datediff('day', CAST(max(o_orderdate) AS DATE), DATE '{_TIMELINESS_NOW}')
+         AS days_since_latest,
+       round(greatest(0.0, 1.0 - datediff('day', CAST(max(o_orderdate) AS DATE),
+             DATE '{_TIMELINESS_NOW}') / 365.0), 4) AS timeliness_score
+FROM orders
+""",
+)
+def q_timeliness(spark, sf_dir):
+    df = load(spark, sf_dir, "orders")
+    latest = F.max("o_orderdate")
+    days = F.datediff(F.lit(_TIMELINESS_NOW).cast("date"), latest.cast("date"))
+    return df.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("earliest"),
+        F.date_format(latest, "yyyy-MM-dd HH:mm:ss").alias("latest"),
+        days.alias("days_since_latest"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - days / F.lit(365.0)), 4).alias(
+            "timeliness_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema_scanner pack (schema_scanner_pack/main.py:83-124)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_scan_lineitem",
+    oracle="""
+WITH cols AS (
+  SELECT unnest(['l_orderkey','l_partkey','l_suppkey','l_linenumber','l_quantity',
+                 'l_extendedprice','l_discount','l_tax','l_returnflag','l_linestatus',
+                 'l_shipdate']) AS name
+)
+SELECT count(*) AS n_columns,
+       md5(string_agg(name, ',' ORDER BY name)) AS columns_hash
+FROM cols
+""",
+)
+def q_schema_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    names = sorted(df.columns)
+    return spark.range(1).select(
+        F.lit(len(names)).alias("n_columns"),
+        F.md5(F.lit(",".join(names))).alias("columns_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# accuracy pack — decimal precision profile (accuracy_pack/main.py:49-66)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "accuracy_decimal_precision",
+    oracle=f"""
+WITH d AS (
+  SELECT {NUM.decimal_digits_sql('o_totalprice')} AS digits
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+m AS (
+  SELECT digits, count(*) AS cnt FROM d GROUP BY digits
+  ORDER BY cnt DESC, digits ASC LIMIT 1
+)
+SELECT (SELECT digits FROM m) AS modal_digits,
+       (SELECT cnt FROM m) AS modal_count,
+       (SELECT count(*) FROM d) AS non_null,
+       round((SELECT cnt FROM m) * 1.0 / (SELECT count(*) FROM d), 4)
+         AS proportion_at_modal
+""",
+)
+def q_accuracy_precision(spark, sf_dir):
+    df = load(spark, sf_dir, "orders")
+    d = (
+        df.where(F.col("o_totalprice").isNotNull())
+        .select(NUM.decimal_digits(F.col("o_totalprice")).alias("digits"))
+        .groupBy("digits")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.where(F.col("o_totalprice").isNotNull()).count()
+    top = d.orderBy(F.desc("cnt"), F.asc("digits")).limit(1)
+    return top.select(
+        F.col("digits").alias("modal_digits"),
+        F.col("cnt").alias("modal_count"),
+        F.lit(total).alias("non_null"),
+        F.round(F.col("cnt") / F.lit(float(total)), 4).alias("proportion_at_modal"),
+    )
