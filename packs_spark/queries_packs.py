@@ -479,3 +479,289 @@ def q_accuracy_precision(spark, sf_dir):
         F.lit(total).alias("non_null"),
         F.round(F.col("cnt") / F.lit(float(total)), 4).alias("proportion_at_modal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data_compare pack — tolerant full-outer diff (data_compare_pack/main.py:219-267)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_compare_orders",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey,
+         o_totalprice + CASE WHEN o_orderkey % 100 = 0 THEN 0.5 ELSE 0 END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+j AS (
+  SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+         s.o_totalprice AS sp, t.o_totalprice AS tp,
+         s.o_orderstatus AS ss, t.o_orderstatus AS ts
+  FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+)
+SELECT
+  CAST(sum(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_common,
+  CAST(sum(CASE WHEN sk IS NOT NULL AND tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_source_only,
+  CAST(sum(CASE WHEN sk IS NULL AND tk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_target_only,
+  CAST(sum(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+            AND NOT (abs(sp - tp) <= 1e-4) THEN 1 ELSE 0 END)
+     + sum(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+            AND NOT (ss IS NOT DISTINCT FROM ts) THEN 1 ELSE 0 END) AS BIGINT) AS cell_mismatches,
+  CAST(sum(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+            AND abs(sp - tp) <= 1e-4 AND (ss IS NOT DISTINCT FROM ts) THEN 1 ELSE 0 END) AS BIGINT) AS rows_fully_matched,
+  round(sum(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+            AND abs(sp - tp) <= 1e-4 AND (ss IS NOT DISTINCT FROM ts) THEN 1 ELSE 0 END) * 1.0
+        / sum(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END), 4) AS match_rate
+FROM j
+""",
+)
+def q_data_compare(spark, sf_dir):
+    from packs_spark.operators.compare import compare
+
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tgt = (
+        src.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 100 == 0, 0.5).otherwise(0.0),
+        )
+    )
+    return compare(src, tgt, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# data_drift pack — distributed two-sample KS (data_drift_pack/main.py:49-64)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_ks_lineitem",
+    oracle="""
+WITH a AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_extendedprice IS NOT NULL),
+b AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_extendedprice IS NOT NULL),
+u AS (
+  SELECT x, count(*) FILTER (WHERE is_a) AS ca, count(*) FILTER (WHERE NOT is_a) AS cb
+  FROM (SELECT x, TRUE AS is_a FROM a UNION ALL SELECT x, FALSE FROM b)
+  GROUP BY x
+),
+c AS (
+  SELECT x,
+         sum(ca) OVER (ORDER BY x) AS cum_a,
+         sum(cb) OVER (ORDER BY x) AS cum_b
+  FROM u
+)
+SELECT round(max(abs(cum_a * 1.0 / (SELECT count(*) FROM a)
+                   - cum_b * 1.0 / (SELECT count(*) FROM b))), 6) AS ks_stat,
+       (SELECT count(*) FROM a) AS n_a,
+       (SELECT count(*) FROM b) AS n_b
+FROM c
+""",
+)
+def q_drift_ks(spark, sf_dir):
+    from packs_spark.operators.drift import ks_2sample
+
+    li = load(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    d, n_a, n_b = ks_2sample(
+        li.where(F.col("l_shipdate") < split),
+        li.where(F.col("l_shipdate") >= split),
+        "l_extendedprice",
+    )
+    return spark.range(1).select(
+        F.round(F.lit(d), 6).alias("ks_stat"),
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# outlier_detection pack — robust IQR fences (quantile analogue of the
+# reference's PyOD KNN scoring, outlier_detection_pack/main.py:206-296; the
+# model-based scorer lives in packs_spark.operators.outliers + pytest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outlier_iqr_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS "column",
+  round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+  round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+  CAST(sum(CASE WHEN l_quantity < quantile_q1 - 1.5 * (quantile_q3 - quantile_q1)
+             OR l_quantity > quantile_q3 + 1.5 * (quantile_q3 - quantile_q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
+  round(1.0 - sum(CASE WHEN l_quantity < quantile_q1 - 1.5 * (quantile_q3 - quantile_q1)
+             OR l_quantity > quantile_q3 + 1.5 * (quantile_q3 - quantile_q1)
+           THEN 1 ELSE 0 END) * 1.0 / count(l_quantity), 4) AS normality_score
+FROM lineitem,
+  (SELECT quantile_cont(l_quantity, 0.25) AS quantile_q1,
+          quantile_cont(l_quantity, 0.75) AS quantile_q3 FROM lineitem)
+UNION ALL
+SELECT 'l_extendedprice',
+  round(quantile_cont(l_extendedprice, 0.25), 6),
+  round(quantile_cont(l_extendedprice, 0.75), 6),
+  CAST(sum(CASE WHEN l_extendedprice < quantile_q1 - 1.5 * (quantile_q3 - quantile_q1)
+             OR l_extendedprice > quantile_q3 + 1.5 * (quantile_q3 - quantile_q1)
+           THEN 1 ELSE 0 END) AS BIGINT),
+  round(1.0 - sum(CASE WHEN l_extendedprice < quantile_q1 - 1.5 * (quantile_q3 - quantile_q1)
+             OR l_extendedprice > quantile_q3 + 1.5 * (quantile_q3 - quantile_q1)
+           THEN 1 ELSE 0 END) * 1.0 / count(l_extendedprice), 4)
+FROM lineitem,
+  (SELECT quantile_cont(l_extendedprice, 0.25) AS quantile_q1,
+          quantile_cont(l_extendedprice, 0.75) AS quantile_q3 FROM lineitem)
+""",
+)
+def q_outlier_iqr(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+
+    def one(col):
+        # exact percentiles in one pass, fences applied in a second pass —
+        # two scans total, both pruned to a single column.
+        q = df.agg(
+            F.expr(f"percentile({col}, 0.25)").alias("q1"),
+            F.expr(f"percentile({col}, 0.75)").alias("q3"),
+        ).collect()[0]
+        q1, q3 = float(q["q1"]), float(q["q3"])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        c = F.col(col)
+        is_out = (c < lo) | (c > hi)
+        return df.agg(
+            F.lit(col).alias("column"),
+            F.round(F.lit(q1), 6).alias("q1"),
+            F.round(F.lit(q3), 6).alias("q3"),
+            F.sum(is_out.cast("long")).alias("outlier_count"),
+            F.round(1.0 - F.sum(is_out.cast("long")) / F.count(c), 4).alias(
+                "normality_score"
+            ),
+        )
+
+    return one("l_quantity").unionByName(one("l_extendedprice"))
+
+
+# ---------------------------------------------------------------------------
+# fhir_compliance pack — per-row validity conjunction (fhir_compliance_pack/
+# main.py:67-98, P7): required / enum / range / json checks ANDed per record
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "row_validity_events",
+    oracle="""
+SELECT
+  count(*) AS n_rows,
+  CAST(sum(CASE WHEN event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+            AND event_type IN ('click','view','purchase','signup','error')
+            AND "value" IS NOT NULL AND "value" >= 0
+            AND props LIKE '{%' THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+  round(sum(CASE WHEN event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+            AND event_type IN ('click','view','purchase','signup','error')
+            AND "value" IS NOT NULL AND "value" >= 0
+            AND props LIKE '{%' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS valid_percent
+FROM events
+""",
+)
+def q_row_validity(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    valid = (
+        F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("props").startswith("{")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(valid.cast("long")).alias("valid_rows"),
+        F.round(F.sum(valid.cast("long")) / F.count(F.lit(1)), 4).alias(
+            "valid_percent"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metric-history windows (SURVEY §2.5): tumbling-window aggregation and
+# gap-based sessionization over the events stream table (batch form; the
+# Structured Streaming variant is packs_spark.streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_windowed_agg",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_windowed(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+per AS (SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1, 2)
+SELECT count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(n), 4) AS avg_events_per_session,
+       max(n) AS max_events_in_session
+FROM per
+""",
+)
+def q_sessionization(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    df = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (ts is TIMESTAMP_NTZ; session tz is UTC so the
+    # NTZ->timestamp cast is identity and epoch micros match DuckDB epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("n"), 4).alias("avg_events_per_session"),
+        F.max("n").alias("max_events_in_session"),
+    )
