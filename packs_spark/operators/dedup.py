@@ -1,0 +1,341 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all expressed Spark-first:
+
+* **exact** — hash-groupBy on the full text (one shuffle of 16-byte keys,
+  never of the documents themselves);
+* **n-gram Jaccard** — shingle → explode → self-join on shingle → count
+  intersections; document-frequency capping keeps hot shingles from
+  exploding the join at web scale;
+* **MinHash + LSH** — signatures built entirely JVM-side
+  (``array_min(transform(shingles, s -> xxhash64(seed, s)))``) — no Python
+  in the hot path; banding turns near-dup search into an equi-join on
+  (band, band_hash), which Spark shuffles/broadcasts like any other join;
+* **SimHash** — 64-bit bit-majority fingerprint over token hashes,
+  vectorized in a pandas UDF (numpy bit ops), hamming-distance candidates
+  via band equi-join on 4×16-bit chunks.
+
+Scale notes: every tier reduces the pairwise O(N²) problem to an
+equi-join keyed on something shuffle-friendly (hash, shingle, band, chunk).
+The only quadratic step left is *within* a bucket/band group, bounded by
+``max_df`` / band width.  Skewed buckets (boilerplate shingles) are dropped
+by document-frequency capping exactly like hot-host salting in the
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_unique_texts, dup_docs, dup_ratio) via md5-groupBy."""
+    g = df.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return g.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique_texts"),
+        F.sum(F.col("cnt") - 1).alias("dup_docs"),
+        F.round(F.sum(F.col("cnt") - 1) / F.sum("cnt"), 4).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(c: F.Column, k: int = 5) -> F.Column:
+    """Distinct character k-grams of ``c`` (empty array when len < k) —
+    built with sequence+transform so it stays inside codegen."""
+    n = F.length(c) - (k - 1)
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+        )
+    )
+
+
+def word_shingles(c: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-grams (space-joined)."""
+    w = F.split(F.trim(c), r"\s+")
+    n = F.size(w) - (k - 1)
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.when(n <= 0, F.array(F.array_join(w, " "))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+                )
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with exact shingle-Jaccard ≥ threshold.
+
+    Plan: shingle → explode (one row per (doc, shingle)) → optional
+    document-frequency cap → self-equi-join on shingle → count shared
+    shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).  Output columns:
+    (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("size_a"), F.col("s")
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("size_b"), F.col("s")
+    )
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.round(jac, 6) >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[j] = min over shingles of
+    xxhash64(j, shingle).  Seeding by prepending the hash index gives
+    n_hashes independent hash families from the one xxhash64 primitive;
+    everything runs inside whole-stage codegen.
+    """
+    sh = char_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(j), s)))
+            for j in range(n_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).where(
+        F.size(char_shingles(F.col(text_col), k)) > 0
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs: docs sharing any (band, hash-of-band-slice) key.
+
+    One explode (docs × bands rows) + one self-equi-join on the band key.
+    With b bands of r rows the match probability is 1-(1-s^r)^b — the
+    standard S-curve; b=16, r=4 centers near s≈0.5.
+    """
+    bandified = sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * rows_per_band + ri]
+                                for ri in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    l = bandified.select(F.col("id").alias("id_a"), "band", "bh")
+    r = bandified.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates refined by signature-estimated Jaccard
+    (fraction of agreeing minhashes) ≥ threshold."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: bigint) — bit-majority over xxhash64 of word tokens.
+
+    Token hashing happens JVM-side (explode + xxhash64); the bit-majority
+    fold is a groupBy with 64 conditional sums — still no Python.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    bit_sums = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_candidates(fp_df: DataFrame, chunk_bits: int = 16) -> DataFrame:
+    """Hamming-near pairs: docs agreeing on ≥1 of the 64/chunk_bits chunks
+    (guarantees recall for hamming distance < number of chunks)."""
+    n_chunks = SIMHASH_BITS // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = fp_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "c.chunk", "c.v")
+    l = chunks.select(F.col("id").alias("id_a"), "chunk", "v")
+    r = chunks.select(F.col("id").alias("id_b"), "chunk", "v")
+    return (
+        l.join(r, ["chunk", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def hamming_distance(a: F.Column, b: F.Column) -> Column:  # noqa: F821
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.  Brute-force O(N²) baseline — correct
+    at any scale but quadratic; the scale path buckets by random-hyperplane
+    LSH first (packs_spark.operators.similarity.hyperplane_buckets) and
+    runs this only within buckets."""
+    from packs_spark.operators.similarity import cosine
+
+    a = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

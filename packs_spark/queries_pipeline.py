@@ -1,6 +1,399 @@
 """Registry entries for the web-text pipeline + training-data operators
-(dedup, similarity search, text analysis).  Grows alongside
-packs_spark.pipeline / packs_spark.operators.
+(dedup, similarity search, text analysis).
+
+Engines must agree bit-for-bit after rounding: integer-count metrics are
+exact; cosine/jaccard doubles are rounded to 6 before thresholding in BOTH
+engines.  MinHash/SimHash/LSH rely on xxhash64 (no DuckDB equivalent) and
+are registered without oracles — their correctness gate is
+tests/test_dedup.py (signature-estimate vs exact Jaccard) and
+tests/test_similarity.py (LSH recall vs brute force).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from packs_spark.pipeline import rules
+from packs_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# web-text quality filter (flagship; heuristic tier — the model-backed
+# pipeline runs on the synthetic web table, see packs_spark/pipeline)
+# ---------------------------------------------------------------------------
+
+_KEEP_SQL = rules.sql_keep_mask("text")
+
+
+@register(
+    "webtext_quality_filter",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(CASE WHEN {_KEEP_SQL} THEN 1.0 ELSE 0.0 END), 4) AS keep_rate,
+       round(avg(length(text)), 2) AS avg_chars,
+       round(avg({rules.sql_symbol_ratio('text')}), 4) AS avg_symbol_ratio,
+       round(avg({rules.sql_stopword_ratio('text')}), 4) AS avg_stopword_ratio,
+       round(avg({rules.sql_distinct_word_ratio('text')}), 4) AS avg_distinct_ratio
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_webtext_filter(spark, sf_dir):
+    from packs_spark.pipeline.webtext import flagship_summary
+
+    return flagship_summary(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+WITH g AS (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+       count(*) AS n_unique_texts,
+       CAST(sum(cnt - 1) AS BIGINT) AS dup_docs,
+       round(sum(cnt - 1) * 1.0 / sum(cnt), 4) AS dup_ratio
+FROM g
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    from packs_spark.operators.dedup import exact_dup_summary
+
+    return exact_dup_summary(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup: word-3-gram Jaccard (exact set similarity)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.05
+
+
+@register(
+    "dedup_jaccard_documents",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        FOR i IN range(1, len(ws) - 1)]) AS sh
+  FROM w WHERE len(ws) >= 3
+),
+e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM g),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+         count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+jac AS (
+  SELECT round(inter * 1.0 / (size_a + size_b - inter), 6) AS j FROM p
+)
+SELECT CAST(count(*) FILTER (WHERE j >= {_JACCARD_T}) AS BIGINT) AS n_pairs,
+       coalesce(round(max(j), 6), 0.0) AS max_jaccard,
+       coalesce(round(avg(j) FILTER (WHERE j >= {_JACCARD_T}), 6), 0.0) AS avg_jaccard
+FROM jac
+""",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    from packs_spark.operators.dedup import word_shingles
+
+    df = load(spark, sf_dir, "documents")
+    sh = (
+        df.where(F.trim(F.col("text")) != "")
+        .select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), 3).alias("sh"),
+        )
+        .where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
+        .withColumn("sz", F.size("sh"))
+    )
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.round(
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+    )
+    jac = pairs.select(j.alias("j"))
+    return jac.agg(
+        F.sum((F.col("j") >= _JACCARD_T).cast("long")).alias("n_pairs"),
+        F.coalesce(F.round(F.max("j"), 6), F.lit(0.0)).alias("max_jaccard"),
+        F.coalesce(
+            F.round(F.avg(F.when(F.col("j") >= _JACCARD_T, F.col("j"))), 6),
+            F.lit(0.0),
+        ).alias("avg_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash+LSH / SimHash (xxhash64-based — no SQL oracle; pytest-gated)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_documents")
+def q_dedup_minhash(spark, sf_dir):
+    from packs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    df = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(df, "doc_id", "text", k=5, n_hashes=64)
+    cand = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    near = minhash_near_dups(df, "doc_id", "text", k=5, threshold=0.5)
+    n_docs = df.count()
+    return spark.range(1).select(
+        F.lit(n_docs).alias("n_docs"),
+        F.lit(cand.count()).alias("n_candidate_pairs"),
+        F.lit(near.count()).alias("n_near_dups"),
+    )
+
+
+@register("dedup_simhash_documents")
+def q_dedup_simhash(spark, sf_dir):
+    from packs_spark.operators.dedup import (
+        hamming_distance,
+        simhash,
+        simhash_candidates,
+    )
+
+    df = load(spark, sf_dir, "documents")
+    fp = simhash(df, "doc_id", "text").persist()
+    cand = simhash_candidates(fp, chunk_bits=16)
+    a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(hamming_distance(F.col("ha"), F.col("hb")).alias("d"))
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum((F.col("d") <= 3).cast("long")).alias("n_hamming_le_3"),
+        F.round(F.avg("d"), 4).alias("avg_hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding cosine near-dup (double-precision oracle via unnest-zip)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_documents",
+    oracle="""
+WITH pr AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+z AS (
+  SELECT ia, ib, unnest(ea) AS x, unnest(eb) AS y FROM pr
+),
+d AS (
+  SELECT ia, ib,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+  FROM z GROUP BY ia, ib
+),
+c AS (SELECT round(dp / (na * nb), 6) AS cosine FROM d)
+SELECT CAST(count(*) FILTER (WHERE cosine >= 0.3) AS BIGINT) AS n_pairs_ge_03,
+       round(max(cosine), 6) AS max_cosine
+FROM c
+""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    from packs_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine")
+    )
+    return pairs.agg(
+        F.sum((F.col("cosine") >= 0.3).cast("long")).alias("n_pairs_ge_03"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+pr AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.embedding AS cv
+  FROM q, embeddings c WHERE q.query_id <> c.vec_id
+),
+z AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM pr),
+d AS (
+  SELECT query_id, neighbor_id,
+         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cosine
+  FROM z GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM d
+QUALIFY rank <= 5
+""",
+)
+def q_topk_bruteforce(spark, sf_dir):
+    from packs_spark.operators.similarity import topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_bruteforce(emb, queries, k=5, query_id_col="query_id")
+
+
+@register("similarity_topk_lsh")
+def q_topk_lsh(spark, sf_dir):
+    from packs_spark.operators.similarity import topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_lsh(emb, queries, k=5, query_id_col="query_id", dim=64, n_planes=4, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "textstats_documents",
+    oracle=f"""
+WITH s AS (
+  SELECT text,
+    {rules.sql_n_words('text')} AS ws_toks,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_toks,
+    {rules.sql_symbol_ratio('text')} AS sym,
+    {rules.sql_stopword_ratio('text')} AS stop,
+    {rules.sql_distinct_word_ratio('text')} AS divr,
+    least(length(text) / 500.0, 1.0) AS lensig,
+    CASE WHEN length(text) >= 8 THEN
+      list_min([md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 6)])
+      ELSE md5(substr(text, 1, 8)) END AS fp
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT count(*) AS n_docs,
+  CAST(sum(ws_toks) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(bpe_toks) AS BIGINT) AS total_bpe_tokens,
+  round(avg((lensig + (1.0 - least(sym / 0.5, 1.0)) + least(stop / 0.10, 1.0) + divr) / 4.0), 4) AS avg_quality,
+  round(avg(sym), 6) AS avg_symbol_ratio,
+  round(avg(divr), 6) AS avg_distinct_ratio,
+  count(DISTINCT fp) AS n_fingerprints
+FROM s
+""",
+)
+def q_textstats(spark, sf_dir):
+    from packs_spark.operators import textstats
+
+    return textstats.summary(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "langid_heuristic_documents",
+    oracle="""
+WITH w AS (
+  SELECT lang AS true_lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ws
+  FROM documents
+),
+sc AS (
+  SELECT true_lang,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+    len(list_filter(ws, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+  FROM w
+),
+p AS (
+  SELECT true_lang,
+    CASE
+      WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
+      WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+      WHEN s_fr > s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+      WHEN s_de > s_en AND s_de > s_fr AND s_de >= s_es THEN 'de'
+      ELSE 'es'
+    END AS predicted
+  FROM sc
+)
+SELECT true_lang, predicted, count(*) AS n
+FROM p GROUP BY 1, 2
+""",
+)
+def q_langid_heuristic(spark, sf_dir):
+    from packs_spark.operators.textstats import langid_heuristic
+
+    df = load(spark, sf_dir, "documents")
+    return (
+        df.select(
+            F.col("lang").alias("true_lang"),
+            langid_heuristic(F.col("text")).alias("predicted"),
+        )
+        .groupBy("true_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint_clusters",
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN length(text) >= 8 THEN
+           list_min([md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 6)])
+         ELSE md5(substr(text, 1, 8)) END AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT fp, count(*) AS cnt FROM f GROUP BY fp)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+       count(*) AS n_fingerprints,
+       max(cnt) AS max_cluster,
+       round(sum(cnt - 1) * 1.0 / sum(cnt), 4) AS collision_ratio
+FROM g
+""",
+)
+def q_fingerprint_clusters(spark, sf_dir):
+    from packs_spark.operators.textstats import fingerprint
+
+    df = load(spark, sf_dir, "documents")
+    g = (
+        df.where(F.col("text").isNotNull())
+        .select(fingerprint(F.col("text"), 8).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return g.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.max("cnt").alias("max_cluster"),
+        F.round(F.sum(F.col("cnt") - 1) / F.sum("cnt"), 4).alias("collision_ratio"),
+    )

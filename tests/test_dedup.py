@@ -1,0 +1,134 @@
+"""Dedup operators vs exact pandas/python oracles.
+
+The SQL-expressible tiers (exact, n-gram Jaccard) are gated by the DuckDB
+oracle in __spark_entry__; these tests cover the hash-based tiers the
+oracle can't express (MinHash estimate quality, LSH recall, SimHash).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from packs_spark.operators import dedup
+
+
+def _shingles(text: str, k: int = 5) -> set[str]:
+    if text is None or len(text) < k:
+        return set()
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def test_char_shingles_match_python(spark, documents, documents_pd):
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in documents.select(
+            "doc_id", dedup.char_shingles(F.col("text"), 5).alias("sh")
+        ).collect()
+    }
+    for _, row in documents_pd.head(50).iterrows():
+        assert got[row.doc_id] == _shingles(row.text, 5), row.doc_id
+
+
+def test_minhash_estimates_jaccard(spark, documents, documents_pd):
+    """Signature-agreement estimate within ±0.2 of exact Jaccard for the
+    highest-overlap pairs (64 hashes → s.e. ≈ sqrt(s(1-s)/64) ≈ 0.06)."""
+    sub = documents.limit(60)
+    sigs = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(sub, "doc_id", "text", 5, 64).collect()
+    }
+    pdf = documents_pd.set_index("doc_id")
+    ids = sorted(sigs)
+    checked = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            exact = _jaccard(_shingles(pdf.loc[a].text), _shingles(pdf.loc[b].text))
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+            assert abs(est - exact) <= 0.2, (a, b, exact, est)
+            checked += 1
+    assert checked > 100
+
+
+def test_lsh_recall_of_true_near_dups(spark, sf_dir):
+    """Docs with true Jaccard >= 0.7 must surface as LSH candidates
+    (b=16, r=4 → P(candidate | s=0.7) ≈ 1-(1-0.24)^16 ≈ 0.99).
+    Build planted near-dups since the corpus has none."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    orig = base.select("doc_id", "text")
+    # planted: append a short suffix → high char-5-gram overlap
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    df = orig.unionByName(mutated)
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", 5, 64)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    planted = {(i, i + 100000) for i in [r["doc_id"] for r in orig.collect()]}
+    found = sum(1 for p in planted if p in pairs)
+    assert found / len(planted) >= 0.9, f"LSH recall {found}/{len(planted)}"
+
+
+def _simhash_py(text: str) -> int | None:
+    """Pure-python oracle replicating the Spark plan: xxhash64 per token is
+    not replicable without the JVM, so the oracle checks *structure*: the
+    Spark fingerprint must equal the bit-majority of the Spark token hashes."""
+    return None
+
+
+def test_simhash_is_bit_majority_of_token_hashes(spark, documents):
+    sub = documents.limit(40)
+    fp = {r["id"]: r["simhash"] for r in dedup.simhash(sub, "doc_id", "text").collect()}
+    toks = (
+        sub.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in toks:
+        by_doc.setdefault(r["id"], []).append(r["h"])
+    for doc, hashes in by_doc.items():
+        expected = 0
+        for b in range(64):
+            s = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+            if s > 0:
+                expected |= 1 << b
+        # Python ints are unbounded; Spark bigint is two's-complement 64-bit
+        if expected >= 1 << 63:
+            expected -= 1 << 64
+        assert fp[doc] == expected, doc
+
+
+def test_simhash_near_identical_docs_have_small_hamming(spark, documents):
+    base = documents.limit(20).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    fp = dedup.simhash(base.unionByName(mutated), "doc_id", "text")
+    rows = {r["id"]: r["simhash"] for r in fp.collect()}
+    for i in [r["doc_id"] for r in base.collect()]:
+        d = bin((rows[i] ^ rows[i + 100000]) & ((1 << 64) - 1)).count("1")
+        assert d <= 8, (i, d)
+
+
+def test_exact_dup_summary_counts(spark, documents):
+    doubled = documents.unionByName(documents)
+    row = dedup.exact_dup_summary(doubled).collect()[0]
+    n = documents.count()
+    uniq = documents.select("text").distinct().count()
+    assert row["n_docs"] == 2 * n
+    assert row["n_unique_texts"] == uniq
+    assert row["dup_docs"] == 2 * n - uniq

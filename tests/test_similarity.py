@@ -1,0 +1,75 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from packs_spark.operators import similarity
+
+
+def _numpy_topk(emb: dict[int, np.ndarray], query_ids, k=5):
+    ids = sorted(emb)
+    M = np.stack([emb[i] for i in ids]).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qi = ids.index(q)
+        cos = Mn @ Mn[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-round(cos[i], 6), ids[i]),
+        )
+        out[q] = [(ids[i], round(cos[i], 6)) for i in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, embeddings):
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in embeddings.collect()
+    }
+    qids = [i for i in sorted(emb) if i < 8]
+    queries = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.topk_bruteforce(embeddings, queries, k=5)
+    by_q: dict[int, list] = {}
+    for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    expected = _numpy_topk(emb, qids, 5)
+    for q in qids:
+        exp_ids = [i for i, _ in expected[q]]
+        got_ids = [i for i, _ in by_q[q]]
+        assert got_ids == exp_ids, (q, got_ids, exp_ids)
+        for (gi, gc), (ei, ec) in zip(by_q[q], expected[q]):
+            assert abs(gc - ec) < 1e-5
+
+
+def test_lsh_recall_at_least_bucket_fraction(spark, embeddings):
+    """Multi-table LSH (4 planes x 8 tables): hit prob for cosine≈0.35
+    neighbors is ~0.7 per pair → recall@5 well above 0.4 on 20 queries;
+    also every LSH score must be a true cosine (subset correctness)."""
+    queries = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.topk_bruteforce(embeddings, queries, k=5)
+    ann = similarity.topk_lsh(embeddings, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann_rows = ann.collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann_rows}
+    recall = len(bf_pairs & ann_pairs) / len(bf_pairs)
+    assert recall >= 0.4, f"LSH recall@5 = {recall}"
+    # scores must be true cosines (spot-check against brute-force scores)
+    bf_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf.collect()}
+    for r in ann_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_scores:
+            assert abs(r["cosine"] - bf_scores[key]) < 1e-9
+
+
+def test_hyperplane_buckets_deterministic(spark, embeddings):
+    b1 = similarity.hyperplane_buckets(embeddings, "embedding", 64, 8, table=1)
+    b2 = similarity.hyperplane_buckets(embeddings, "embedding", 64, 8, table=1)
+    r1 = {r["vec_id"]: r["bucket"] for r in b1.collect()}
+    r2 = {r["vec_id"]: r["bucket"] for r in b2.collect()}
+    assert r1 == r2
+    assert 1 < len(set(r1.values())) <= 256
