@@ -41,6 +41,21 @@ class CheckpointedWriter:
         self.bucket_col = bucket_col
         self._progress_path = os.path.join(base_path, PROGRESS_DIR)
         os.makedirs(self._progress_path, exist_ok=True)
+        # Resuming with a different bucketing would silently mix two
+        # partitionings in one table — refuse instead.
+        meta_path = os.path.join(self._progress_path, "_meta.json")
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            if meta["n_buckets"] != n_buckets or meta["bucket_col"] != bucket_col:
+                raise ValueError(
+                    f"checkpoint at {base_path} was written with "
+                    f"{meta['n_buckets']} buckets on '{meta['bucket_col']}', "
+                    f"got {n_buckets} on '{bucket_col}' — use a fresh path "
+                    f"or matching config"
+                )
+        else:
+            with open(meta_path, "w") as f:
+                json.dump({"n_buckets": n_buckets, "bucket_col": bucket_col}, f)
 
     # ---- commit log -------------------------------------------------
     def completed_buckets(self) -> set[int]:

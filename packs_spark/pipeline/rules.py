@@ -17,13 +17,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Compact English stopword list used for the stopword-density signal (public
-# top-frequency words; intentionally small — the signal needs density, not
-# linguistic completeness).
+# Compact multilingual function-word list for the stopword-density signal
+# (public top-frequency words across en/fr/de/es/it; intentionally small —
+# the signal needs density, not linguistic completeness).
 STOPWORDS = [
+    # en
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+    # fr
+    "le", "la", "les", "et", "est", "que", "pour", "nous", "il", "du",
+    # de
+    "der", "die", "das", "und", "ist", "den", "dem", "wir", "sie", "auf",
+    # es
+    "el", "los", "las", "es", "y", "que", "para", "por", "con", "un",
+    # it
+    "il", "lo", "gli", "e", "che", "per", "con", "del", "noi", "un",
 ]
+STOPWORDS = sorted(set(STOPWORDS))
 
 DEFAULTS = dict(
     min_chars=50,
@@ -31,7 +41,7 @@ DEFAULTS = dict(
     min_words=10,
     max_symbol_ratio=0.30,
     min_stopword_ratio=0.01,
-    min_distinct_ratio=0.30,
+    min_distinct_ratio=0.25,
 )
 
 

@@ -1,0 +1,117 @@
+"""North-star gates: keep/drop F1 >= 0.99 vs the pandas reference oracle,
+byte-identical scrubbed text per url, langid accuracy, resumability."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from packs_spark.pipeline.generate import generate_pages
+from packs_spark.pipeline.webtext import run_batch
+from tests.pandas_oracle import pipeline_oracle
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def pages_pd():
+    return generate_pages(N_DOCS, seed=42, n_hosts=50)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, pages_pd, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("webtext") / "table")
+    sdf = spark.createDataFrame(pages_pd)
+    stats = run_batch(spark, sdf, out, n_buckets=16, run_id="test-run")
+    return out, stats
+
+
+def test_pipeline_writes_all_buckets(spark, pipeline_out):
+    out, stats = pipeline_out
+    assert stats["written"] == 16
+    got = spark.read.parquet(out)
+    assert got.count() == N_DOCS
+    assert set(got.select("bucket").distinct().toPandas().bucket) == set(range(16))
+
+
+def test_keep_drop_f1_vs_reference(spark, pages_pd, pipeline_out):
+    out, _ = pipeline_out
+    got = (
+        spark.read.parquet(out)
+        .select("url", "keep", "text_scrubbed", "lang_pred")
+        .toPandas()
+        .set_index("url")
+    )
+    oracle = pipeline_oracle(pages_pd).set_index("url")
+    joined = got.join(oracle, rsuffix="_ref")
+    tp = int((joined.keep & joined.keep_ref).sum())
+    fp = int((joined.keep & ~joined.keep_ref).sum())
+    fn = int((~joined.keep & joined.keep_ref).sum())
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"keep/drop F1={f1} (tp={tp}, fp={fp}, fn={fn})"
+    # sanity: the filter actually separates classes (not all-keep/all-drop)
+    assert 0.3 < joined.keep.mean() < 0.9
+
+
+def test_scrubbed_text_byte_identical(spark, pages_pd, pipeline_out):
+    out, _ = pipeline_out
+    got = (
+        spark.read.parquet(out)
+        .select("url", "text_scrubbed")
+        .toPandas()
+        .set_index("url")
+    )
+    oracle = pipeline_oracle(pages_pd).set_index("url")
+    joined = got.join(oracle, rsuffix="_ref")
+    mismatch = joined[joined.text_scrubbed != joined.text_scrubbed_ref]
+    assert len(mismatch) == 0, mismatch.head(3).to_dict()
+    # scrubbing did something: PII injections exist in the generator
+    orig = pages_pd.set_index("url").text.reindex(joined.index)
+    changed = (joined.text_scrubbed_ref != orig).sum()
+    assert changed > 0
+
+
+def test_langid_accuracy_on_kept_docs(spark, pages_pd, pipeline_out):
+    out, _ = pipeline_out
+    got = spark.read.parquet(out).select("url", "lang_pred", "keep").toPandas()
+    truth = pages_pd[["url", "lang"]]
+    j = got.merge(truth, on="url")
+    kept = j[j.keep]
+    acc = (kept.lang_pred == kept.lang).mean()
+    assert acc >= 0.98, f"langid accuracy on kept docs = {acc}"
+
+
+def test_pipeline_resume_skips_completed(spark, pages_pd, pipeline_out):
+    out, _ = pipeline_out
+    sdf = spark.createDataFrame(pages_pd)
+    stats2 = run_batch(spark, sdf, out, n_buckets=16, run_id="test-run-2")
+    assert stats2["written"] == 0 and stats2["skipped"] == 16
+    os.remove(os.path.join(out, "_progress", "bucket-5.json"))
+    stats3 = run_batch(spark, sdf, out, n_buckets=16, run_id="test-run-3")
+    assert stats3["written"] == 1
+    got = spark.read.parquet(out)
+    assert got.count() == N_DOCS  # idempotent overwrite
+
+
+def test_metrics_side_output(spark, pipeline_out):
+    out, _ = pipeline_out
+    m = spark.read.parquet(f"{out}_metrics").toPandas()
+    assert len(m) == 16
+    assert (m.n_docs == m.n_keep + m.n_drop).all()
+    assert m.total_pii_hits.sum() > 0
+
+
+def test_scrub_replaces_known_pii():
+    from packs_spark.pipeline.scrub import scrub_text
+
+    assert (
+        scrub_text("mail john.doe@example.com now")
+        == "mail <EMAIL> now"
+    )
+    assert scrub_text("ip 192.168.1.42 up") == "ip <IP> up"
+    assert scrub_text("ssn 123-45-6789 leaked") == "ssn <SSN> leaked"
+    assert scrub_text("a badword1 b") == "a <REDACTED> b"
+    assert scrub_text(None) is None
