@@ -152,16 +152,28 @@ def minhash_signatures(
     n_hashes independent hash families from the one xxhash64 primitive;
     everything runs inside whole-stage codegen.
     """
-    sh = char_shingles(F.col(text_col), k)
+    # Materialize the shingle array once per row (its own projection), then
+    # hash it once per row and min-reduce per seed.  Hashing each shingle
+    # n_hashes times (xxhash64(seed_j, s)) would cost 64× the string
+    # hashing; instead hash once to a long h and derive the j-th family as
+    # a cheap integer mix of (j, h) — the standard "one strong hash + k
+    # universal remixes" MinHash construction.
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    hashed = shingled.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(j), s)))
+            F.array_min(
+                F.transform("hs", lambda h: F.xxhash64(F.lit(j), h))
+            )
             for j in range(n_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).where(
-        F.size(char_shingles(F.col(text_col), k)) > 0
-    )
+    return hashed.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

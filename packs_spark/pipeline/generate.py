@@ -143,7 +143,9 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42, n_hosts: int = 1
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         if writer is None:
             writer = pq.ParquetWriter(path, table.schema)
-        writer.write_table(table)
+        # bounded row groups: Spark's parquet split unit is the row group —
+        # one giant group would serialize the whole downstream pipeline
+        writer.write_table(table, row_group_size=10_000)
     if writer:
         writer.close()
     return path

@@ -100,3 +100,64 @@ def make_scrub_udf():
         )
 
     return scrub_udf
+
+
+def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
+    """Fused pipeline UDF: one Arrow round-trip of the text column computes
+    langid + perplexity + scrub together (three separate pandas UDFs would
+    ship the same strings to Python three times — at 10^12 docs the Arrow
+    transfer IS the cost, so the fusion is a ~3× cut of Python-boundary
+    traffic)."""
+    from packs_spark.ml.ngram import LangIdModel, PerplexityModel
+
+    langid_model = langid_model or LangIdModel.train()
+    ppl_model = ppl_model or PerplexityModel.train()
+    bc_lid = spark.sparkContext.broadcast(langid_model)
+    bc_ppl = spark.sparkContext.broadcast(ppl_model)
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("margin", T.DoubleType()),
+            T.StructField("ppl", T.DoubleType()),
+            T.StructField("scrubbed", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("start", T.IntegerType()),
+                            T.StructField("end", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("n_hits", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def enrich_udf(texts: pd.Series) -> pd.DataFrame:
+        from packs_spark.pipeline.scrub import scrub_series, scrub_spans
+
+        lid = _materialize(bc_lid)
+        pplm = _materialize(bc_ppl)
+        tl = texts.tolist()
+        idx, margin = lid.predict(tl)
+        labels = [lid.langs[i] if i >= 0 else "unknown" for i in idx]
+        ppl = pplm.perplexity(tl)
+        scrubbed = scrub_series(texts)
+        spans = [scrub_spans(t) for t in tl]
+        return pd.DataFrame(
+            {
+                "lang": labels,
+                "margin": margin,
+                "ppl": ppl,
+                "scrubbed": scrubbed,
+                "spans": spans,
+                "n_hits": [len(s) for s in spans],
+            }
+        )
+
+    return enrich_udf

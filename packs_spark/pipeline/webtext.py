@@ -55,35 +55,40 @@ def run_batch(
     """
     from packs_spark.io.lakehouse import CheckpointedWriter
     from packs_spark.pipeline.partitioning import url_bucket
-    from packs_spark.pipeline.udfs import (
-        make_langid_udf,
-        make_perplexity_udf,
-        make_scrub_udf,
-    )
+    from packs_spark.pipeline.udfs import make_enrich_udf
 
     t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
     df = spark.read.parquet(source) if isinstance(source, str) else source
 
     df = df.withColumn("bucket", url_bucket(F.col("url"), n_buckets))
+    # Shuffle once, by bucket, BEFORE the expensive stages: (a) parallelism
+    # becomes n_buckets regardless of the input file layout (a single fat
+    # row group would otherwise serialize every UDF), (b) the partitionBy
+    # write emits one file per bucket instead of n_input_splits × n_buckets
+    # small files.  At 10^12-doc scale this is the only full shuffle in the
+    # job and it is unavoidable for a bucketed table layout.
+    # repartitionByRange, not hash-repartition: bucket ids are 0..n-1
+    # discrete, and hashing them into n partitions leaves ~1/e of partitions
+    # empty and others with 2-3 buckets (measured: only ~15 of 32 python
+    # workers busy).  Range partitioning puts exactly one bucket per
+    # partition: even parallelism AND one output file per bucket directory.
+    df = df.repartitionByRange(n_buckets, "bucket")
 
-    langid_udf = make_langid_udf(spark)
-    ppl_udf = make_perplexity_udf(spark)
-    scrub_udf = make_scrub_udf()
+    enrich_udf = make_enrich_udf(spark)
 
     enriched = (
         quality_columns(df)
-        .withColumn("__lid", langid_udf(F.col("text")))
-        .withColumn("ppl", ppl_udf(F.col("text")))
-        .withColumn("__scrub", scrub_udf(F.col("text")))
+        .withColumn("__e", enrich_udf(F.col("text")))
         .select(
             "*",
-            F.col("__lid.lang").alias("lang_pred"),
-            F.col("__lid.margin").alias("lang_margin"),
-            F.col("__scrub.scrubbed").alias("text_scrubbed"),
-            F.col("__scrub.spans").alias("scrub_spans"),
-            F.col("__scrub.n_hits").alias("pii_hits"),
+            F.col("__e.lang").alias("lang_pred"),
+            F.col("__e.margin").alias("lang_margin"),
+            F.col("__e.ppl").alias("ppl"),
+            F.col("__e.scrubbed").alias("text_scrubbed"),
+            F.col("__e.spans").alias("scrub_spans"),
+            F.col("__e.n_hits").alias("pii_hits"),
         )
-        .drop("__lid", "__scrub")
+        .drop("__e")
     )
 
     labeled = enriched.withColumn(
@@ -117,16 +122,44 @@ def run_batch(
 
 
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach heuristic quality-signal columns (all JVM-side expressions)."""
+    """Attach heuristic quality-signal columns (all JVM-side expressions).
+
+    The lowercase token array is materialized ONCE and every word-based
+    signal derives from it — semantically identical to applying each
+    rules.* expression directly (the oracle-checked form), but a single
+    regex split instead of five per row.
+    """
     c = F.col(text_col)
-    return (
-        df.withColumn("q_n_chars", rules.n_chars(c))
-        .withColumn("q_n_words", rules.n_words(c))
+    t = {**rules.DEFAULTS}
+    out = (
+        df.withColumn("__wl", rules.words(F.lower(c)))
+        .withColumn("q_n_chars", rules.n_chars(c))
+        .withColumn("q_n_words", F.size("__wl"))
         .withColumn("q_symbol_ratio", rules.symbol_ratio(c))
-        .withColumn("q_stopword_ratio", rules.stopword_ratio(c))
-        .withColumn("q_distinct_ratio", rules.distinct_word_ratio(c))
-        .withColumn("keep", rules.keep_mask(c))
+        .withColumn(
+            "q_stopword_ratio",
+            F.when(F.col("q_n_words") == 0, F.lit(0.0)).otherwise(
+                F.size(F.filter("__wl", lambda x: x.isin(rules.STOPWORDS)))
+                / F.col("q_n_words")
+            ),
+        )
+        .withColumn(
+            "q_distinct_ratio",
+            F.when(F.col("q_n_words") == 0, F.lit(1.0)).otherwise(
+                F.size(F.array_distinct("__wl")) / F.col("q_n_words")
+            ),
+        )
     )
+    keep = (
+        c.isNotNull()
+        & (F.col("q_n_chars") >= t["min_chars"])
+        & (F.col("q_n_chars") <= t["max_chars"])
+        & (F.col("q_n_words") >= t["min_words"])
+        & (F.col("q_symbol_ratio") <= t["max_symbol_ratio"])
+        & (F.col("q_stopword_ratio") >= t["min_stopword_ratio"])
+        & (F.col("q_distinct_ratio") >= t["min_distinct_ratio"])
+    )
+    return out.withColumn("keep", keep).drop("__wl")
 
 
 def flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,21 +147,39 @@ def q_dedup_jaccard(spark, sf_dir):
 
 @register("dedup_minhash_documents")
 def q_dedup_minhash(spark, sf_dir):
-    from packs_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_near_dups,
-        minhash_signatures,
-    )
+    from packs_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     df = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(df, "doc_id", "text", k=5, n_hashes=64)
+    # one signature computation reused by candidates AND the estimate join
+    sigs = minhash_signatures(df, "doc_id", "text", k=5, n_hashes=64).persist()
     cand = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
-    near = minhash_near_dups(df, "doc_id", "text", k=5, threshold=0.5)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(64.0)
+            ).alias("est_jaccard")
+        )
+    )
     n_docs = df.count()
+    row = est.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum((F.col("est_jaccard") >= 0.5).cast("long")).alias("n_near_dups"),
+    ).collect()[0]
+    sigs.unpersist()
     return spark.range(1).select(
         F.lit(n_docs).alias("n_docs"),
-        F.lit(cand.count()).alias("n_candidate_pairs"),
-        F.lit(near.count()).alias("n_near_dups"),
+        F.lit(row["n_candidate_pairs"]).alias("n_candidate_pairs"),
+        F.lit(row["n_near_dups"] or 0).alias("n_near_dups"),
     )
 
 

@@ -58,6 +58,12 @@ def get_spark(
         # Push count/min/max down to parquet footers (S3 in SURVEY §2.1).
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+        # The pack operators batch 30+ aggregates into one pass; the default
+        # whole-stage-codegen fallback threshold (100 fields) silently drops
+        # those plans to interpreted mode — raise it so wide single-pass
+        # aggregations stay inside codegen.
+        "spark.sql.codegen.maxFields": "500",
         # NOTE: keep the local driver heap right-sized, not maximal — with a
         # 48g heap the first large whole-stage-codegen compile takes >60s
         # (JIT/GC ergonomics); 8g shows none of that and comfortably holds

@@ -1,0 +1,167 @@
+"""Structured Streaming variants of the batch operators.
+
+The reference is strictly batch (SURVEY §2.9) and the north rule's
+"resumable" requirement is batch-checkpoint based — these streaming twins
+are additive capability: the same quality-filter plan bolted onto
+``readStream``, giving continuous ingestion with exactly-once parquet
+sinks via Spark's own streaming checkpoints.
+
+* ``stream_webtext`` — the full enrich (langid+ppl+scrub, same fused
+  pandas UDF) as a streaming query; file-source streaming means new
+  web-page parquet drops are picked up incrementally.
+* ``stream_windowed_event_counts`` — tumbling-window counts with a
+  watermark for late events (the streaming twin of the
+  ``events_windowed_agg`` oracle query).
+* ``stream_sessionize`` — gap-based session aggregation with
+  ``applyInPandasWithState`` (custom stateful operator; the batch twin is
+  ``events_sessionization``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_webtext(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    available_now: bool = True,
+):
+    """Streaming quality filter: returns the started StreamingQuery."""
+    from packs_spark.pipeline.udfs import make_enrich_udf
+    from packs_spark.pipeline.webtext import quality_columns
+
+    if schema is None:
+        schema = (
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        )
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    enrich = make_enrich_udf(spark)
+    out = (
+        quality_columns(src)
+        .withColumn("__e", enrich(F.col("text")))
+        .select(
+            "*",
+            F.col("__e.lang").alias("lang_pred"),
+            F.col("__e.ppl").alias("ppl"),
+            F.col("__e.scrubbed").alias("text_scrubbed"),
+            F.col("__e.n_hits").alias("pii_hits"),
+        )
+        .drop("__e")
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation (works on batch or stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_counts(src)
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")  # watermark allows append-mode window agg
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+):
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState).  Emits one row per CLOSED session:
+    (user_id, session_start, session_end, n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        events = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        closed = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        for ts in sorted(events["ts"].tolist()):
+            ts_s = ts.timestamp()
+            if start is None:
+                start, end, n = ts_s, ts_s, 1
+            elif ts_s - end > gap_s:
+                closed.append((user_id, start, end, n))
+                start, end, n = ts_s, ts_s, 1
+            else:
+                end, n = ts_s, n + 1
+        if start is not None:
+            state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, session_start double, session_end double, "
+                "n_events long"
+            ),
+            stateStructType="start double, end double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
