@@ -100,7 +100,13 @@ class CheckpointedWriter:
         wave_size = wave_size or len(pending)
         for i in range(0, len(pending), wave_size):
             wave = pending[i : i + wave_size]
-            wave_df = df.where(F.col(self.bucket_col).isin(wave))
+            if len(wave) == self.n_buckets:
+                # fresh run, single wave: every bucket pending — the
+                # membership filter would be a per-row no-op (and a wide
+                # InSet), skip it entirely
+                wave_df = df
+            else:
+                wave_df = df.where(F.col(self.bucket_col).isin(wave))
             t0 = time.time()
             # Count rows per bucket in the same action via an accumulator-free
             # post-hoc read of the written partition (cheap: footer metadata).

@@ -1,0 +1,126 @@
+"""KNN outlier scoring — Spark-first replacement of the reference's PyOD
+KNN (reference: outlier_detection_pack/main.py:206-224, constants :7-8).
+
+Reference semantics kept exactly:
+* fit on a row-capped sample (reference caps at 100k,
+  outlier_detection_pack/main.py:7); the reference samples randomly
+  WITHOUT a seed (main.py:208) — we use a deterministic top-k-by-key
+  sample instead so results are reproducible (documented deviation);
+* ``decision_function`` = euclidean distance to the k-th nearest fit
+  point (PyOD KNN default ``n_neighbors=5, method='largest'``), self
+  included when the scored row is in the fit set — matching the
+  reference's ``clf.decision_function(df)`` over ALL rows;
+* inlier score ``1 - s / (s.max() + eps)``; outlier when ``< 0.5``;
+  normality score = mean inlier (main.py:289-296).
+
+Scale shape: the fit sample is collected once on the driver (top-k by a
+sort key — TakeOrdered, no full sort), broadcast to executors, and every
+partition scores its rows against it inside one Arrow-batched pandas UDF
+(distance matrix per batch, ``np.partition`` for the k-th smallest).
+Cost is O(rows × fit_cap) flops with zero shuffles; the only collect is
+the fit sample and the final tiny aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPSILON = 1e-9
+DEFAULT_K = 5  # PyOD KNN default n_neighbors
+DEFAULT_FIT_CAP = 100_000  # reference MAX_ROWS_FOR_FULL_KNN
+
+
+def knn_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    order_cols: list[str],
+    k: int = DEFAULT_K,
+    fit_cap: int = DEFAULT_FIT_CAP,
+) -> DataFrame:
+    """Append a ``knn_score`` column: distance to the k-th nearest fit
+    point.  Nulls are mean-imputed first (reference main.py:183-186)."""
+    spark = df.sparkSession
+
+    means = {
+        c: (r if r is not None else 0.0)
+        for c, r in zip(
+            feature_cols,
+            df.agg(*[F.avg(c) for c in feature_cols]).collect()[0],
+        )
+    }
+    filled = df.na.fill(means, subset=feature_cols)
+
+    fit_pdf = (
+        filled.orderBy(*order_cols)
+        .limit(fit_cap)
+        .select(*[F.col(c).cast("double") for c in feature_cols])
+        .toPandas()
+    )
+    fit = np.ascontiguousarray(fit_pdf.to_numpy(dtype=np.float64))
+    if len(fit) <= k:
+        raise ValueError(
+            f"KNN needs more than k={k} fit rows, got {len(fit)} "
+            "(reference raises the same way, main.py:193-198)"
+        )
+    bc_fit = spark.sparkContext.broadcast(fit)
+
+    @F.pandas_udf("double")
+    def kth_nn_dist(*cols: pd.Series) -> pd.Series:
+        X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+        Y = bc_fit.value
+        # per-dimension (x-y)^2 accumulation, NOT the |x|²+|y|²-2x·y GEMM
+        # trick: with feature magnitudes ~1e5 and neighbor gaps ~1e-2 the
+        # GEMM form cancels catastrophically; this form is bit-compatible
+        # with the SQL oracle's (a-b)*(a-b) sums
+        d2 = np.zeros((len(X), len(Y)))
+        for j in range(X.shape[1]):
+            diff = X[:, j][:, None] - Y[:, j][None, :]
+            d2 += diff * diff
+        kth = np.partition(d2, k - 1, axis=1)[:, k - 1]
+        return pd.Series(np.sqrt(kth))
+
+    return filled.withColumn(
+        "knn_score", kth_nn_dist(*[F.col(c).cast("double") for c in feature_cols])
+    )
+
+
+def inlier_expr(max_score: float) -> Column:
+    return 1.0 - F.col("knn_score") / F.lit(max_score + EPSILON)
+
+
+def knn_normality(
+    df: DataFrame,
+    feature_cols: list[str],
+    order_cols: list[str],
+    k: int = DEFAULT_K,
+    fit_cap: int = DEFAULT_FIT_CAP,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dataset-level normality summary, reference envelope semantics:
+    (n_rows, n_outliers, normality_score round-4, max_knn_score round-6).
+
+    Two passes over the scored frame (max, then the thresholded
+    aggregate) — the reference needs ``scores.max()`` before the inlier
+    transform too; at scale both are single shuffle-free scans."""
+    scored = knn_scores(df, feature_cols, order_cols, k=k, fit_cap=fit_cap)
+    scored = scored.persist()
+    try:
+        max_score = scored.agg(F.max("knn_score")).collect()[0][0] or 0.0
+        inlier = inlier_expr(max_score)
+        row = scored.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((inlier < threshold).cast("long")).alias("n_outliers"),
+            F.round(F.avg(inlier), 4).alias("normality_score"),
+        ).collect()[0]
+    finally:
+        scored.unpersist()
+    spark = df.sparkSession
+    return spark.range(1).select(
+        F.lit(row["n_rows"]).alias("n_rows"),
+        F.lit(row["n_outliers"]).alias("n_outliers"),
+        F.lit(float(row["normality_score"])).alias("normality_score"),
+        F.round(F.lit(max_score), 6).alias("max_knn_score"),
+    )

@@ -1,0 +1,273 @@
+"""Expectation-suite evaluation — the engine-native replacement for the
+reference's third-party check dispatchers:
+
+* great_expectations_pack/main.py:40-57 — GX ``expect_*`` method dispatch
+  from ``pack_conf.json["job"]["expectations"]``; score = passed/total
+  (``:58``), each result an envelope ``{expectation, success}``;
+* soda_pack/main.py:53-67 + checks.yaml — SodaCL checks
+  (``row_count > 0`` style) over the same frame.
+
+Both are config-driven pass/fail rules over one dataset, so they share one
+evaluator here.  Design for scale: the WHOLE suite is compiled into a
+single ``df.agg(...)`` pass (one scan, partial aggregation per partition,
+no shuffles beyond the final merge); schema-level expectations never touch
+data at all.
+
+Supported expectation_types (the public GX names the reference dispatches
+by ``getattr``):
+  table:  expect_table_row_count_to_be_between,
+          expect_table_columns_to_match_set
+  column: expect_column_values_to_not_be_null,
+          expect_column_values_to_be_between,
+          expect_column_values_to_be_in_set,
+          expect_column_values_to_match_regex,
+          expect_column_values_to_be_unique,
+          expect_column_mean_to_be_between,
+          expect_column_min_to_be_between,
+          expect_column_max_to_be_between
+Row-level expectations honour GX's ``mostly`` (fraction of non-null rows
+that must satisfy the predicate; default 1.0).
+
+SodaCL checks are translated to the same internal form by
+``parse_sodacl``: ``row_count > 0``, ``missing_count(col) = 0``,
+``duplicate_count(col) < N``, ``min/max/avg/sum(col) <op> N``.
+"""
+
+from __future__ import annotations
+
+import operator
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = {
+    ">": operator.gt,
+    ">=": operator.ge,
+    "<": operator.lt,
+    "<=": operator.le,
+    "=": operator.eq,
+    "==": operator.eq,
+    "!=": operator.ne,
+}
+
+
+@dataclass
+class _Compiled:
+    """One expectation compiled to aggregate columns + a driver-side
+    verdict over the collected values."""
+
+    label: str
+    column: str | None
+    aggs: list[Column] = field(default_factory=list)  # named c{i}_{j}
+    # verdict(values: list) -> bool, evaluated on the single collected row
+    verdict: object = None
+
+
+def _between(value, lo, hi) -> bool:
+    if value is None:
+        return False
+    return (lo is None or value >= lo) and (hi is None or value <= hi)
+
+
+def _mostly_pred(pred: Column, col: Column, idx: int, mostly: float) -> _Compiled:
+    """Row-level expectation: fraction of NON-NULL rows satisfying pred
+    must be >= mostly (GX ignores nulls for value expectations except
+    not_be_null itself)."""
+    ok = F.sum((pred & col.isNotNull()).cast("long")).alias(f"c{idx}_ok")
+    nn = F.sum(col.isNotNull().cast("long")).alias(f"c{idx}_nn")
+    return _Compiled(
+        label="",
+        column=None,
+        aggs=[ok, nn],
+        verdict=lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+    )
+
+
+def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
+    etype = exp["expectation_type"]
+    kw = exp.get("kwargs", {})
+    col_name = kw.get("column")
+    c = F.col(col_name) if col_name else None
+    mostly = float(kw.get("mostly", 1.0))
+
+    if etype == "expect_table_row_count_to_be_between":
+        lo, hi = kw.get("min_value"), kw.get("max_value")
+        out = _Compiled(
+            etype,
+            None,
+            [F.count(F.lit(1)).alias(f"c{idx}_n")],
+            lambda v, lo=lo, hi=hi: _between(v[0], lo, hi),
+        )
+    elif etype == "expect_table_columns_to_match_set":
+        want = set(kw.get("column_set", []))
+        have = set(df.columns)
+        exact = bool(kw.get("exact_match", True))
+        success = have == want if exact else want <= have
+        out = _Compiled(etype, None, [], lambda v, s=success: s)
+    elif etype == "expect_column_values_to_not_be_null":
+        ok = F.sum(c.isNotNull().cast("long")).alias(f"c{idx}_ok")
+        n = F.count(F.lit(1)).alias(f"c{idx}_n")
+        out = _Compiled(
+            etype,
+            col_name,
+            [ok, n],
+            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        )
+    elif etype == "expect_column_values_to_be_between":
+        lo, hi = kw.get("min_value"), kw.get("max_value")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (c >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (c <= F.lit(hi))
+        out = _mostly_pred(pred, c, idx, mostly)
+    elif etype == "expect_column_values_to_be_in_set":
+        vals = list(kw.get("value_set", []))
+        # Or-chain, not Column.isin — wide InSet lists JIT pathologically
+        pred = F.lit(False)
+        for val in vals:
+            pred = pred | (c == F.lit(val))
+        out = _mostly_pred(pred, c, idx, mostly)
+    elif etype == "expect_column_values_to_match_regex":
+        out = _mostly_pred(c.cast("string").rlike(kw["regex"]), c, idx, mostly)
+    elif etype == "expect_column_values_to_be_unique":
+        # unique-fraction = countDistinct-only-once / non-null; exact via
+        # two aggregates (count, countDistinct) + a duplicate-aware term is
+        # not expressible in one; GX counts rows whose value occurs once.
+        # count(*) - count over window is a shuffle; instead:
+        #   unique_rows = 2*countDistinct - count_nonnull  is WRONG with
+        # multiplicity>2, so use the exact form below (distinct + total +
+        # sum of per-value min(cnt-1,1)) via a groupBy subaggregate only
+        # when mostly < 1; for the common mostly=1.0 case
+        # countDistinct == count_nonnull suffices (no duplicates at all).
+        nn = F.count(c).alias(f"c{idx}_nn")
+        nd = F.countDistinct(c).alias(f"c{idx}_nd")
+        if mostly >= 1.0:
+            out = _Compiled(
+                etype,
+                col_name,
+                [nn, nd],
+                lambda v: (v[0] or 0) == (v[1] or 0),
+            )
+        else:
+            raise NotImplementedError(
+                "expect_column_values_to_be_unique with mostly<1 needs the "
+                "groupBy path; use duplicates operators instead"
+            )
+    elif etype in (
+        "expect_column_mean_to_be_between",
+        "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between",
+    ):
+        fn = {"mean": F.avg, "min": F.min, "max": F.max}[etype.split("_")[2]]
+        lo, hi = kw.get("min_value"), kw.get("max_value")
+        out = _Compiled(
+            etype,
+            col_name,
+            [fn(c).alias(f"c{idx}_v")],
+            lambda v, lo=lo, hi=hi: _between(v[0], lo, hi),
+        )
+    else:
+        # reference behavior: silently skip unknown expectations
+        # (great_expectations_pack/main.py:45-46 `if not hasattr: continue`)
+        out = _Compiled(etype, col_name, [], None)
+    out.label = etype
+    out.column = col_name
+    return out
+
+
+_SODA_AGG = re.compile(
+    r"^\s*(row_count|missing_count|duplicate_count|min|max|avg|sum)"
+    r"(?:\(\s*([A-Za-z0-9_]+)\s*\))?\s*(>=|<=|!=|==|=|>|<)\s*(-?[\d.]+)\s*$"
+)
+
+
+def parse_sodacl(check: str) -> dict:
+    """Translate a SodaCL-style scalar check ("row_count > 0",
+    "duplicate_count(col) = 0") into the internal expectation form."""
+    m = _SODA_AGG.match(check)
+    if not m:
+        raise ValueError(f"unsupported SodaCL check: {check!r}")
+    metric, col, op, rhs = m.groups()
+    return {
+        "expectation_type": f"soda:{metric}",
+        "kwargs": {"column": col, "op": op, "value": float(rhs)},
+        "_raw": check,
+    }
+
+
+def compile_soda(df: DataFrame, idx: int, exp: dict) -> _Compiled:
+    kw = exp["kwargs"]
+    metric = exp["expectation_type"].split(":", 1)[1]
+    col, op, rhs = kw.get("column"), _OPS[kw["op"]], kw["value"]
+    c = F.col(col) if col else None
+    if metric == "row_count":
+        aggs = [F.count(F.lit(1)).alias(f"c{idx}_v")]
+        verdict = lambda v: op(v[0] or 0, rhs)  # noqa: E731
+    elif metric == "missing_count":
+        aggs = [F.sum(c.isNull().cast("long")).alias(f"c{idx}_v")]
+        verdict = lambda v: op(v[0] or 0, rhs)  # noqa: E731
+    elif metric == "duplicate_count":
+        # Σ max(cnt-1, 0) without a groupBy = count_nonnull - countDistinct
+        aggs = [
+            F.count(c).alias(f"c{idx}_nn"),
+            F.countDistinct(c).alias(f"c{idx}_nd"),
+        ]
+        verdict = lambda v: op((v[0] or 0) - (v[1] or 0), rhs)  # noqa: E731
+    else:
+        fn = {"min": F.min, "max": F.max, "avg": F.avg, "sum": F.sum}[metric]
+        aggs = [fn(c).alias(f"c{idx}_v")]
+        verdict = lambda v: v[0] is not None and op(v[0], rhs)  # noqa: E731
+    return _Compiled(exp.get("_raw", metric), col, aggs, verdict)
+
+
+def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
+    """Evaluate the whole suite in ONE aggregation pass.  Returns
+    [{expectation, column, success}] in suite order (skipped/unknown
+    expectations omitted, matching the reference's `continue`)."""
+    compiled: list[_Compiled] = []
+    for i, exp in enumerate(expectations):
+        if exp["expectation_type"].startswith("soda:"):
+            compiled.append(compile_soda(df, i, exp))
+        else:
+            compiled.append(compile_expectation(df, i, exp))
+
+    all_aggs = [a for comp in compiled for a in comp.aggs]
+    row = df.agg(*all_aggs).collect()[0] if all_aggs else None
+
+    results, pos = [], 0
+    for comp in compiled:
+        vals = [row[pos + j] for j in range(len(comp.aggs))] if comp.aggs else []
+        pos += len(comp.aggs)
+        if comp.verdict is None:
+            continue  # unknown expectation — reference skips it
+        results.append(
+            {
+                "expectation": comp.label,
+                "column": comp.column,
+                "success": bool(comp.verdict(vals)),
+            }
+        )
+    return results
+
+
+def suite_results_df(df: DataFrame, expectations: list[dict]) -> DataFrame:
+    """Per-expectation results as a DataFrame, with the dataset-level
+    suite score (passed/total rounded 2 — reference
+    great_expectations_pack/main.py:58) on every row."""
+    res = evaluate_suite(df, expectations)
+    total = len(res)
+    passed = sum(r["success"] for r in res)
+    score = 1.0 if total == 0 else round(passed / total, 2)
+    spark = df.sparkSession
+    rows = [
+        (i, r["expectation"], r["column"], r["success"], score)
+        for i, r in enumerate(res)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "idx int, expectation string, column string, success boolean, "
+        "suite_score double",
+    )

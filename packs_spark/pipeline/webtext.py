@@ -60,6 +60,12 @@ def run_batch(
     t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
     df = spark.read.parquet(source) if isinstance(source, str) else source
 
+    # Project away the raw html payload BEFORE the shuffle: extraction
+    # already happened upstream (the input carries `text`), so html is dead
+    # weight — at CC scale it is the majority of the row's bytes, and
+    # shuffling or rewriting it would double both shuffle and sink I/O.
+    # The output row keeps (url, run_id) lineage back to the source table.
+    df = df.select("url", "warc_ts", "lang", "text")
     df = df.withColumn("bucket", url_bucket(F.col("url"), n_buckets))
     # Shuffle once, by bucket, BEFORE the expensive stages: (a) parallelism
     # becomes n_buckets regardless of the input file layout (a single fat
@@ -91,13 +97,20 @@ def run_batch(
         .drop("__e")
     )
 
-    labeled = enriched.withColumn(
-        "keep",
-        F.col("keep")  # heuristic conjunction from quality_columns
-        & (F.col("lang_pred") != "unknown")
-        & (F.col("lang_margin") >= t["min_margin"])
-        & (F.col("ppl") <= t["max_ppl"]),
-    ).withColumn("run_id", F.lit(run_id))
+    labeled = (
+        enriched.withColumn(
+            "keep",
+            F.col("keep")  # heuristic conjunction from quality_columns
+            & (F.col("lang_pred") != "unknown")
+            & (F.col("lang_margin") >= t["min_margin"])
+            & (F.col("ppl") <= t["max_ppl"]),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        # the sink row is the scrubbed document + labels/metrics/lineage;
+        # the raw text is reproducible from (url, run_id) against the
+        # source table and would otherwise be the largest written column
+        .drop("text")
+    )
 
     writer = CheckpointedWriter(output_path, n_buckets)
     stats = writer.write_resumable(labeled, wave_size=wave_size)

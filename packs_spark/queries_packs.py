@@ -765,3 +765,196 @@ def q_sessionization(spark, sf_dir):
         F.round(F.avg("n"), 4).alias("avg_events_per_session"),
         F.max("n").alias("max_events_in_session"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN outlier scoring (SURVEY §2.4 A14; reference
+# outlier_detection_pack/main.py:206-224 — PyOD KNN kth-NN distance,
+# inlier = 1 - s/(max+eps), outlier < 0.5, normality = mean inlier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outlier_knn_lineitem",
+    oracle="""
+WITH fit AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS fv
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
+),
+l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             row_number() OVER () AS rid FROM lineitem),
+p AS (
+  SELECT l.rid, sqrt((l.v - f.fv) * (l.v - f.fv)) AS d
+  FROM l CROSS JOIN fit f
+),
+kth AS (
+  SELECT rid, d AS score FROM (
+    SELECT rid, d, row_number() OVER (PARTITION BY rid ORDER BY d) AS rn
+    FROM p
+  ) WHERE rn = 5
+),
+m AS (SELECT max(score) AS mx FROM kth),
+s AS (SELECT 1.0 - score / (mx + 1e-9) AS inlier, mx FROM kth, m)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN inlier < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(avg(inlier), 4) AS normality_score,
+       round(max(mx), 6) AS max_knn_score
+FROM s
+""",
+)
+def q_outlier_knn(spark, sf_dir):
+    """Driver-fit + broadcast + Arrow-batched scoring; fit sample is the
+    deterministic top-500 by primary key (the reference's unseeded random
+    100k sample, outlier_detection_pack/main.py:208, is replaced by a
+    reproducible sample — documented deviation)."""
+    from packs_spark.ml.knn import knn_normality
+
+    df = load(spark, sf_dir, "lineitem")
+    return knn_normality(
+        df,
+        ["l_extendedprice"],
+        ["l_orderkey", "l_linenumber"],
+        k=5,
+        fit_cap=500,
+    )
+
+
+# ---------------------------------------------------------------------------
+# expectation-suite dispatch (SURVEY §2.4 A17/A18; reference
+# great_expectations_pack/main.py:40-58 + soda_pack/checks.yaml)
+# ---------------------------------------------------------------------------
+
+_GX_SUITE = [
+    {"expectation_type": "expect_table_row_count_to_be_between",
+     "kwargs": {"min_value": 1}},
+    {"expectation_type": "expect_table_columns_to_match_set",
+     "kwargs": {"column_set": ["o_orderkey", "o_custkey"],
+                "exact_match": False}},
+    {"expectation_type": "expect_column_values_to_not_be_null",
+     "kwargs": {"column": "o_orderkey"}},
+    {"expectation_type": "expect_column_values_to_be_between",
+     "kwargs": {"column": "o_totalprice", "min_value": 0,
+                "max_value": 1000000000}},
+    {"expectation_type": "expect_column_values_to_be_in_set",
+     "kwargs": {"column": "o_orderstatus", "value_set": ["O", "F", "P"]}},
+    {"expectation_type": "expect_column_values_to_match_regex",
+     "kwargs": {"column": "o_orderpriority", "regex": "^[1-5]-"}},
+    {"expectation_type": "expect_column_values_to_be_unique",
+     "kwargs": {"column": "o_orderkey"}},
+    {"expectation_type": "expect_column_mean_to_be_between",
+     "kwargs": {"column": "o_totalprice", "min_value": 100,
+                "max_value": 1000000}},
+    {"expectation_type": "expect_column_values_to_be_between",
+     "kwargs": {"column": "o_totalprice", "min_value": 0,
+                "max_value": 1000, "mostly": 0.9}},
+    {"expectation_type": "expect_column_min_to_be_between",
+     "kwargs": {"column": "o_orderkey", "min_value": 0, "max_value": 10}},
+]
+
+
+@register(
+    "expectations_suite_orders",
+    oracle="""
+WITH r AS (
+  SELECT 0 AS idx, 'expect_table_row_count_to_be_between' AS expectation,
+         CAST(NULL AS VARCHAR) AS "column",
+         (SELECT count(*) FROM orders) >= 1 AS success
+  UNION ALL
+  SELECT 1, 'expect_table_columns_to_match_set', NULL, TRUE
+  UNION ALL
+  SELECT 2, 'expect_column_values_to_not_be_null', 'o_orderkey',
+         (SELECT count(o_orderkey) = count(*) FROM orders)
+  UNION ALL
+  SELECT 3, 'expect_column_values_to_be_between', 'o_totalprice',
+         (SELECT sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000000
+                          THEN 1 ELSE 0 END) = count(o_totalprice)
+          FROM orders)
+  UNION ALL
+  SELECT 4, 'expect_column_values_to_be_in_set', 'o_orderstatus',
+         (SELECT sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                          THEN 1 ELSE 0 END) = count(o_orderstatus)
+          FROM orders)
+  UNION ALL
+  SELECT 5, 'expect_column_values_to_match_regex', 'o_orderpriority',
+         (SELECT sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                          THEN 1 ELSE 0 END) = count(o_orderpriority)
+          FROM orders)
+  UNION ALL
+  SELECT 6, 'expect_column_values_to_be_unique', 'o_orderkey',
+         (SELECT count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 7, 'expect_column_mean_to_be_between', 'o_totalprice',
+         (SELECT avg(o_totalprice) BETWEEN 100 AND 1000000 FROM orders)
+  UNION ALL
+  SELECT 8, 'expect_column_values_to_be_between', 'o_totalprice',
+         (SELECT sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000
+                          THEN 1 ELSE 0 END) * 1.0 / count(o_totalprice)
+                 >= 0.9
+          FROM orders)
+  UNION ALL
+  SELECT 9, 'expect_column_min_to_be_between', 'o_orderkey',
+         (SELECT min(o_orderkey) BETWEEN 0 AND 10 FROM orders)
+)
+SELECT idx, expectation, "column", success,
+       round((SELECT sum(CASE WHEN success THEN 1 ELSE 0 END) * 1.0
+                     / count(*) FROM r), 2) AS suite_score
+FROM r
+""",
+)
+def q_expectations_suite(spark, sf_dir):
+    from packs_spark.operators.expectations import suite_results_df
+
+    return suite_results_df(load(spark, sf_dir, "orders"), _GX_SUITE)
+
+
+_SODA_CHECKS = [
+    "row_count > 0",
+    "missing_count(o_orderdate) = 0",
+    "duplicate_count(o_custkey) > 0",
+    "min(o_totalprice) > 0",
+    "avg(o_totalprice) < 1000000",
+    "sum(o_custkey) > 0",
+    "max(o_totalprice) < 100000000",
+]
+
+
+@register(
+    "sodacl_checks_orders",
+    oracle="""
+WITH r AS (
+  SELECT 0 AS idx, 'row_count > 0' AS expectation,
+         CAST(NULL AS VARCHAR) AS "column",
+         (SELECT count(*) FROM orders) > 0 AS success
+  UNION ALL
+  SELECT 1, 'missing_count(o_orderdate) = 0', 'o_orderdate',
+         (SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+          FROM orders)
+  UNION ALL
+  SELECT 2, 'duplicate_count(o_custkey) > 0', 'o_custkey',
+         (SELECT count(o_custkey) - count(DISTINCT o_custkey) > 0
+          FROM orders)
+  UNION ALL
+  SELECT 3, 'min(o_totalprice) > 0', 'o_totalprice',
+         (SELECT min(o_totalprice) > 0 FROM orders)
+  UNION ALL
+  SELECT 4, 'avg(o_totalprice) < 1000000', 'o_totalprice',
+         (SELECT avg(o_totalprice) < 1000000 FROM orders)
+  UNION ALL
+  SELECT 5, 'sum(o_custkey) > 0', 'o_custkey',
+         (SELECT sum(o_custkey) > 0 FROM orders)
+  UNION ALL
+  SELECT 6, 'max(o_totalprice) < 100000000', 'o_totalprice',
+         (SELECT max(o_totalprice) < 100000000 FROM orders)
+)
+SELECT idx, expectation, "column", success,
+       round((SELECT sum(CASE WHEN success THEN 1 ELSE 0 END) * 1.0
+                     / count(*) FROM r), 2) AS suite_score
+FROM r
+""",
+)
+def q_sodacl_checks(spark, sf_dir):
+    from packs_spark.operators.expectations import parse_sodacl, suite_results_df
+
+    suite = [parse_sodacl(c) for c in _SODA_CHECKS]
+    return suite_results_df(load(spark, sf_dir, "orders"), suite)

@@ -415,3 +415,57 @@ def q_fingerprint_clusters(spark, sf_dir):
         F.max("cnt").alias("max_cluster"),
         F.round(F.sum(F.col("cnt") - 1) / F.sum("cnt"), 4).alias("collision_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns (SURVEY §2.10 extension; operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata_documents",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' ELSE 'riff' END AS format,
+    CASE doc_id % 4 WHEN 1 THEN 3 ELSE 4 END
+      + octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT format,
+       count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(1.0 AS DOUBLE) AS avg_feat_l1
+FROM p GROUP BY format
+""",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    """Binary-column plumbing end-to-end: plant a deterministic container
+    magic (by doc_id % 4) in front of the UTF-8 text bytes, then run the
+    Arrow-batched mapInPandas metadata extractor (sniff + byte-histogram
+    features) and verify the sniffer recovers the planted format and the
+    byte counts/L1-normalized features are exact."""
+    from packs_spark.operators.multimodal import extract_metadata
+
+    df = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    magics = [b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF"]
+    payload = F.concat(
+        F.element_at(
+            F.array(*[F.lit(m) for m in magics]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    bin_df = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        payload.alias("payload"),
+    )
+    meta = extract_metadata(bin_df, binary_col="payload", id_col="doc_id")
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(
+            F.avg(F.aggregate("features", F.lit(0.0), lambda a, x: a + x)), 3
+        ).alias("avg_feat_l1"),
+    )
