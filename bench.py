@@ -166,7 +166,8 @@ def scaling() -> None:
     legs = {}
     for cpus in (8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   SPARK_GRAFT_BENCH_RUNS="3")
+                   SPARK_GRAFT_BENCH_RUNS=os.environ.get(
+                       "SPARK_GRAFT_SCALING_RUNS", "5"))
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
                "--pipeline-leg", str(cpus), str(SCALING_DOCS)]
         out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
@@ -187,7 +188,7 @@ worker spawn and this VM's erratic cold-page costs).
 | local[8]  | {legs[8]["seconds"]} | {legs[8]["docs_per_sec"]} | {legs[8]["all_runs_sec"]} |
 | local[32] | {legs[32]["seconds"]} | {legs[32]["docs_per_sec"]} | {legs[32]["all_runs_sec"]} |
 
-Best-of-3 per leg: this sandbox VM exhibits multi-second random stalls
+Best-of-N per leg: this sandbox VM exhibits multi-second random stalls
 (cold-page storms — identical numpy ops measured 0.02s..3s); the best run
 reflects the hardware-independent scaling behavior of the plan.
 

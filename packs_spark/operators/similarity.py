@@ -15,6 +15,8 @@ JVM-side — no UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,6 +165,126 @@ def topk_lsh(
         qb.join(cb, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    sample: int = 2000,
+    iters: int = 10,
+):
+    """Deterministic Lloyd k-means on a driver-side sample (top-``sample``
+    rows by id — reproducible, like the KNN fit sample).  Returns a numpy
+    (n_cells, dim) array.  At cluster scale the sample collect is the only
+    driver hop; 10 iterations over ≤2000×dim floats is microseconds."""
+    import numpy as np
+
+    pdf = (
+        df.orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .toPandas()
+    )
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    # normalize so euclidean assignment ≈ cosine cells
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = X[:: max(len(X) // n_cells, 1)][:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids,
+    vec_col: str,
+    out_col: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest centroid ids (array<int>) via one
+    Arrow-batched pandas UDF; centroids broadcast once per executor."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array([list(v) for v in vecs], dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.tolist() for row in order])
+
+    return df.withColumn(out_col, nearest_cells(F.col(vec_col)))
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample: int = 2000,
+) -> DataFrame:
+    """IVF ANN: corpus rows live in their single nearest cell; each query
+    probes its ``nprobe`` nearest cells.  The join key is the cell id, so
+    scoring touches ~nprobe/n_cells of the corpus — the standard IVF
+    trade (recall vs probe count measured in tests/test_similarity.py).
+
+    Scale shape: centroids are a tiny broadcast; the corpus is hashed
+    across executors by cell (one shuffle that at a real deployment is
+    the partitioning of the ANN index itself); queries explode ×nprobe
+    then broadcast-join if small."""
+    cents = train_centroids(corpus, vec_col, id_col, n_cells, sample)
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cents,
+        "cv",
+        nprobe=1,
+    ).select("neighbor_id", "cv", F.element_at("cell", 1).alias("cell"))
+    q = assign_cells(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        cents,
+        "qv",
+        nprobe=nprobe,
+    ).select("query_id", "qv", F.explode("cell").alias("cell"))
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",

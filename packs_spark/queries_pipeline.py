@@ -299,6 +299,22 @@ def q_topk_lsh(spark, sf_dir):
     return topk_lsh(emb, queries, k=5, query_id_col="query_id", dim=64, n_planes=4, n_tables=8)
 
 
+@register("similarity_topk_ivf")
+def q_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only gate; recall vs brute force is
+    asserted in tests/test_similarity.py — k-means cells have no DuckDB
+    equivalent)."""
+    from packs_spark.operators.similarity import topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_ivf(
+        emb, queries, k=5, query_id_col="query_id", n_cells=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -73,3 +73,40 @@ def test_hyperplane_buckets_deterministic(spark, embeddings):
     r2 = {r["vec_id"]: r["bucket"] for r in b2.collect()}
     assert r1 == r2
     assert 1 < len(set(r1.values())) <= 256
+
+
+def test_ivf_recall_and_subset_correctness(spark, embeddings):
+    """IVF with nprobe=4 of 16 cells: each query scores ~1/4 of the
+    corpus; recall@5 must clear a conservative floor and every returned
+    score must be a true cosine."""
+    queries = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.topk_bruteforce(embeddings, queries, k=5)
+    ann = similarity.topk_ivf(
+        embeddings, queries, k=5, n_cells=16, nprobe=4, sample=1000
+    )
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann_rows = ann.collect()
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann_rows}
+    recall = len(bf_pairs & ann_pairs) / len(bf_pairs)
+    assert recall >= 0.4, f"IVF recall@5 = {recall}"
+    bf_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf.collect()}
+    for r in ann_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_scores:
+            assert abs(r["cosine"] - bf_scores[key]) < 1e-9
+
+
+def test_ivf_nprobe_full_is_exact(spark, embeddings):
+    """nprobe = n_cells probes every cell — IVF must equal brute force."""
+    queries = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.topk_bruteforce(embeddings, queries, k=5)
+    ann = similarity.topk_ivf(
+        embeddings, queries, k=5, n_cells=8, nprobe=8, sample=500
+    )
+    bf_pairs = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in bf.collect()}
+    ann_pairs = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ann.collect()}
+    assert bf_pairs == ann_pairs
