@@ -35,19 +35,21 @@ def _normalize_to_bytes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate texts with a separator, return (symbol ids, doc boundary
     offsets).  Non-ASCII bytes map to space via the byte table (langid over
     this alphabet is ASCII-transliteration based by construction)."""
-    sep = " \x00 "  # the NUL keeps trigrams from spanning documents
-    joined = sep.join(t if t is not None else "" for t in texts) + sep
-    raw = np.frombuffer(joined.encode("utf-8", errors="replace"), dtype=np.uint8)
+    sep = b" \x00 "  # the NUL keeps trigrams from spanning documents
+    # encode each text exactly once (encoding is a real cost at batch size)
+    enc = [
+        (t if t is not None else "").encode("utf-8", errors="replace")
+        for t in texts
+    ]
+    joined = sep.join(enc) + sep
+    raw = np.frombuffer(joined, dtype=np.uint8)
     syms = _BYTE_MAP[raw]
     # NUL (0x00) maps to 0 (space) via the table; mark separators explicitly
     sep_mask = raw == 0
     syms = np.where(sep_mask, -1, syms)
     # compute per-doc start offsets in the symbol stream
-    lengths = np.array(
-        [len((t if t is not None else "").encode("utf-8", errors="replace")) for t in texts],
-        dtype=np.int64,
-    )
-    sep_len = len(sep.encode())
+    lengths = np.array([len(e) for e in enc], dtype=np.int64)
+    sep_len = len(sep)
     starts = np.zeros(len(texts), dtype=np.int64)
     if len(texts) > 1:
         starts[1:] = np.cumsum(lengths[:-1] + sep_len)
@@ -107,6 +109,28 @@ def score_batch(
         scores[:, really_empty] = 0.0
         n_tri = np.where(really_empty, 0, n_tri)
     return scores, n_tri
+
+
+def fused_predict(
+    texts: list[str], stacked_tables: np.ndarray, n_langs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One normalize+codes pass scoring langid tables AND the perplexity
+    table together (``stacked_tables`` = [lid_0..lid_{n_langs-1}, ppl]).
+
+    Returns (best lang index or -1, margin, perplexity).  Scoring the
+    stacked tables in a single ``score_batch`` halves the normalize/codes
+    work versus separate LangIdModel.predict + PerplexityModel.perplexity
+    calls on the same batch."""
+    scores, n_tri = score_batch(texts, stacked_tables)
+    denom = np.maximum(n_tri, 1)
+    per_tri = scores[:n_langs] / denom
+    order = np.argsort(-per_tri, axis=0)
+    cols = np.arange(len(texts))
+    margin = per_tri[order[0], cols] - per_tri[order[1], cols]
+    best = np.where(n_tri > 0, order[0], -1)
+    margin = np.where(n_tri > 0, margin, 0.0)
+    ppl = np.where(n_tri > 0, np.exp(-scores[n_langs] / denom), np.inf)
+    return best, margin, ppl
 
 
 class LangIdModel:

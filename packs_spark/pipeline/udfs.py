@@ -108,12 +108,19 @@ def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
     ship the same strings to Python three times — at 10^12 docs the Arrow
     transfer IS the cost, so the fusion is a ~3× cut of Python-boundary
     traffic)."""
+    import numpy as np
+
     from packs_spark.ml.ngram import LangIdModel, PerplexityModel
 
     langid_model = langid_model or LangIdModel.train()
     ppl_model = ppl_model or PerplexityModel.train()
-    bc_lid = spark.sparkContext.broadcast(langid_model)
-    bc_ppl = spark.sparkContext.broadcast(ppl_model)
+    # one broadcast: langid tables + perplexity table stacked, so the UDF
+    # scores all of them in a single normalize+codes pass (ml.ngram.
+    # fused_predict)
+    stacked = np.concatenate(
+        [langid_model.tables, ppl_model.table[None, :]], axis=0
+    )
+    bc = spark.sparkContext.broadcast((stacked, list(langid_model.langs)))
 
     schema = T.StructType(
         [
@@ -139,16 +146,14 @@ def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
 
     @F.pandas_udf(schema)
     def enrich_udf(texts: pd.Series) -> pd.DataFrame:
-        from packs_spark.pipeline.scrub import scrub_series, scrub_spans
+        from packs_spark.ml.ngram import fused_predict
+        from packs_spark.pipeline.scrub import scrub_batch
 
-        lid = _materialize(bc_lid)
-        pplm = _materialize(bc_ppl)
+        tables, langs = _materialize(bc)
         tl = texts.tolist()
-        idx, margin = lid.predict(tl)
-        labels = [lid.langs[i] if i >= 0 else "unknown" for i in idx]
-        ppl = pplm.perplexity(tl)
-        scrubbed = scrub_series(texts)
-        spans = [scrub_spans(t) for t in tl]
+        idx, margin, ppl = fused_predict(tl, tables, len(langs))
+        labels = [langs[i] if i >= 0 else "unknown" for i in idx]
+        scrubbed, spans = scrub_batch(tl)
         return pd.DataFrame(
             {
                 "lang": labels,

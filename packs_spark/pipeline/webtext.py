@@ -54,7 +54,7 @@ def run_batch(
     Returns the CheckpointedWriter stats dict (buckets written/skipped).
     """
     from packs_spark.io.lakehouse import CheckpointedWriter
-    from packs_spark.pipeline.partitioning import url_bucket
+    from packs_spark.pipeline.partitioning import repartition_by_bucket, url_bucket
     from packs_spark.pipeline.udfs import make_enrich_udf
 
     t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
@@ -73,12 +73,13 @@ def run_batch(
     # write emits one file per bucket instead of n_input_splits × n_buckets
     # small files.  At 10^12-doc scale this is the only full shuffle in the
     # job and it is unavoidable for a bucketed table layout.
-    # repartitionByRange, not hash-repartition: bucket ids are 0..n-1
-    # discrete, and hashing them into n partitions leaves ~1/e of partitions
-    # empty and others with 2-3 buckets (measured: only ~15 of 32 python
-    # workers busy).  Range partitioning puts exactly one bucket per
-    # partition: even parallelism AND one output file per bucket directory.
-    df = df.repartitionByRange(n_buckets, "bucket")
+    # Exact one-bucket-per-partition placement via a precomputed murmur3
+    # partition key (partitioning.repartition_by_bucket): even parallelism
+    # AND one output file per bucket directory.  A plain hash repartition
+    # on the bucket id leaves ~1/e of partitions empty (measured: only ~15
+    # of 32 python workers busy); repartitionByRange fixes that but adds a
+    # hidden range-sampling job — a full extra scan of the input per run.
+    df = repartition_by_bucket(df, n_buckets)
 
     enrich_udf = make_enrich_udf(spark)
 
@@ -112,8 +113,12 @@ def run_batch(
         .drop("text")
     )
 
+    import time as _time
+
     writer = CheckpointedWriter(output_path, n_buckets)
+    t0 = _time.time()
     stats = writer.write_resumable(labeled, wave_size=wave_size)
+    stats["write_s"] = round(_time.time() - t0, 2)
 
     # per-bucket rule-level metrics (north rule: per-partition metrics),
     # computed from the committed table so metrics always reflect what was
@@ -128,9 +133,11 @@ def run_batch(
         F.round(F.avg("ppl"), 4).alias("avg_ppl"),
         F.round(F.avg(F.col("q_symbol_ratio")), 6).alias("avg_symbol_ratio"),
     )
+    t0 = _time.time()
     metrics.withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
         f"{output_path}_metrics"
     )
+    stats["metrics_s"] = round(_time.time() - t0, 2)
     return stats
 
 

@@ -958,3 +958,191 @@ def q_sodacl_checks(spark, sf_dir):
 
     suite = [parse_sodacl(c) for c in _SODA_CHECKS]
     return suite_results_df(load(spark, sf_dir, "orders"), suite)
+
+
+# ---------------------------------------------------------------------------
+# metric-history window deltas (SURVEY.md §2.5: the catalog's *_change /
+# *_anomaly checks are computed platform-side over stored metric history —
+# dqops-checks-reference.md:40-56 — as lag deltas over an ordered run log;
+# here the "history" is the daily event-count series per event_type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_metric_history_delta",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+, lagged AS (
+  SELECT event_type, day, n, lag(n) OVER w AS prev_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, n, prev_n,
+       n - prev_n AS delta,
+       round((n - prev_n) * 100.0 / prev_n, 4) AS pct_change,
+       abs(n - prev_n) * 100.0 / prev_n > 50.0 AS anomaly
+FROM lagged
+WHERE prev_n IS NOT NULL
+ORDER BY event_type, day
+""",
+)
+def q_metric_history_delta(spark, sf_dir):
+    """Day-over-day change + >50% anomaly flag per event_type.
+
+    Scale shape: the groupBy is one shuffle on (event_type, day); the lag
+    window re-uses the same hash partitioning on event_type (Catalyst
+    plans one exchange for both), and each partition's window is tiny
+    (days per type), so no skew risk.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.withColumn("prev_n", F.lag("n").over(w))
+        .where(F.col("prev_n").isNotNull())  # first day has no history
+        .withColumn("delta", F.col("n") - F.col("prev_n"))
+        .withColumn(
+            "pct_change",
+            F.round((F.col("n") - F.col("prev_n")) * 100.0 / F.col("prev_n"), 4),
+        )
+        .withColumn(
+            "anomaly",
+            F.abs(F.col("n") - F.col("prev_n")) * 100.0 / F.col("prev_n")
+            > 50.0,
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (additive — SURVEY.md §2.8 notes the events.props
+# JSON column; pure JVM-side get_json_object, no UDF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_json_extract(spark, sf_dir):
+    """get_json_object over the props column, aggregated per event_type.
+    JSON parse stays inside whole-stage codegen (no Python)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k.isNull().cast("long")).alias("n_missing_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixed-format datetime parse (reference timeliness_pack/main.py:26-83:
+# per-column format sniff + pd.to_datetime(format="mixed"); here the Spark
+# form is a try_to_timestamp cascade — JVM-side, no UDF — over strings in
+# several real-world formats)
+# ---------------------------------------------------------------------------
+
+_DATE_FORMATS = [
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("MM/dd/yyyy", "%m/%d/%Y"),
+    ("dd.MM.yyyy", "%d.%m.%Y"),
+    ("yyyyMMdd", "%Y%m%d"),
+]
+
+
+def _mixed_date_col():
+    """Deterministically re-format o_orderdate into one of 4 formats keyed
+    by o_orderkey % 4 — a reproducible mixed-format string column."""
+    d = F.col("o_orderdate")
+    k = F.col("o_orderkey") % 4
+    return (
+        F.when(k == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(k == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(k == 2, F.date_format(d, "dd.MM.yyyy"))
+        .otherwise(F.date_format(d, "yyyyMMdd"))
+    )
+
+
+@register(
+    "timeliness_mixed_dates",
+    oracle="""
+WITH s AS (
+  SELECT CASE o_orderkey % 4
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+           WHEN 2 THEN strftime(o_orderdate, '%d.%m.%Y')
+           ELSE strftime(o_orderdate, '%Y%m%d')
+         END AS raw
+  FROM orders
+), p AS (
+  SELECT coalesce(
+           try_strptime(raw, '%Y-%m-%d'),
+           try_strptime(raw, '%m/%d/%Y'),
+           try_strptime(raw, '%d.%m.%Y'),
+           try_strptime(raw, '%Y%m%d')
+         ) AS ts, raw
+  FROM s
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsed,
+       CAST(CAST(min(ts) AS DATE) AS VARCHAR) AS min_date,
+       CAST(CAST(max(ts) AS DATE) AS VARCHAR) AS max_date,
+       count(DISTINCT CAST(ts AS DATE)) AS n_distinct_days
+FROM p
+""",
+)
+def q_timeliness_mixed_dates(spark, sf_dir):
+    """Parse a mixed-format date-string column with a try_to_timestamp
+    cascade (first format that parses wins — same semantics as the
+    reference's pd.to_datetime(format='mixed') for unambiguous strings).
+
+    Cascade order matters: '%Y%m%d' last so it cannot mis-claim
+    delimited strings; all formats are mutually exclusive on separators.
+    """
+    raw = _mixed_date_col()
+    ts = F.coalesce(
+        *[F.try_to_timestamp(raw, F.lit(fmt)) for fmt, _ in _DATE_FORMATS]
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(ts.alias("ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("ts").isNull().cast("long")).alias("n_unparsed"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd").alias("max_date"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_distinct_days"),
+        )
+    )

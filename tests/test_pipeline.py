@@ -115,3 +115,33 @@ def test_scrub_replaces_known_pii():
     assert scrub_text("ssn 123-45-6789 leaked") == "ssn <SSN> leaked"
     assert scrub_text("a badword1 b") == "a <REDACTED> b"
     assert scrub_text(None) is None
+
+
+def test_murmur3_twin_matches_spark_hash(spark):
+    from pyspark.sql import functions as F
+
+    from packs_spark.pipeline.partitioning import _murmur3_long
+
+    rows = (
+        spark.range(0, 300)
+        .select("id", F.hash(F.col("id")).alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_long(r["id"]) == r["h"]
+
+
+def test_repartition_by_bucket_exact_placement(spark):
+    from pyspark.sql import functions as F
+
+    from packs_spark.pipeline.partitioning import repartition_by_bucket
+
+    n = 64
+    data = spark.range(0, 5000).select(
+        (F.col("id") % n).cast("int").alias("bucket")
+    )
+    placed = repartition_by_bucket(data, n).select(
+        "bucket", F.spark_partition_id().alias("pid")
+    )
+    assert placed.where(F.col("bucket") != F.col("pid")).count() == 0
+    assert placed.select("pid").distinct().count() == n
