@@ -155,57 +155,82 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
 
 
 def scaling() -> None:
-    """Run the pipeline at 8 and 32 cores in fresh subprocesses and write
-    BENCH/BASELINE.md.
+    """Run the pipeline at 8 and 32 cores as INTERLEAVED subprocess pairs
+    and write BENCH/BASELINE.md.
 
-    Each leg is pinned with taskset to exactly its core budget — in local
-    mode python UDF workers are separate OS processes, so an unpinned
-    local[8] leg would borrow the machine's 24 idle cores for UDF work and
-    overstate small-leg throughput (deflating measured efficiency).
-    Pinning makes each leg a faithful stand-in for an N-core cluster."""
-    legs = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   SPARK_GRAFT_BENCH_RUNS=os.environ.get(
-                       "SPARK_GRAFT_SCALING_RUNS", "5"))
-        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
-               "--pipeline-leg", str(cpus), str(SCALING_DOCS)]
-        out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        legs[cpus] = json.loads(line)
-    eff = legs[32]["docs_per_sec"] / (4 * legs[8]["docs_per_sec"])
+    Methodology, forced by this sandbox VM's measurement noise (identical
+    runs drift 1-3× over minutes — cold-page storms, neighbor steal):
+
+    * legs alternate 8→32→8→32… so slow VM windows hit both legs equally;
+      each pair yields one efficiency sample taken from adjacent runs;
+    * each leg is a fresh subprocess, taskset-pinned to exactly its core
+      budget — in local mode python UDF workers are separate OS processes,
+      so an unpinned local[8] leg would borrow the machine's 24 idle cores
+      for UDF work and overstate small-leg throughput;
+    * one unmeasured warm-up run per subprocess pays JVM codegen, python
+      worker spawn and first-touch page faults; the measured run is
+      steady-state;
+    * reported efficiency uses the best run per leg (the run least
+      disturbed by the VM), with all pairwise samples shown."""
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for p in range(pairs):
+        for cpus in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_GRAFT_BENCH_RUNS="1")
+            cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
+                   "--pipeline-leg", str(cpus), str(SCALING_DOCS)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 env=env, cwd=REPO)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+            print(f"pair {p} local[{cpus}]: {runs[cpus][-1]['seconds']}s",
+                  file=sys.stderr)
+    best = {c: min(r["seconds"] for r in runs[c]) for c in (8, 32)}
+    tput = {c: round(SCALING_DOCS / best[c], 1) for c in (8, 32)}
+    eff = tput[32] / (4 * tput[8])
+    pair_effs = [
+        round((a["seconds"] / b["seconds"]) / 4, 3)
+        for a, b in zip(runs[8], runs[32])
+    ]
     md = f"""# BENCH — web-text pipeline scaling evidence
 
 Same job (generate-cached {SCALING_DOCS} docs → langid → perplexity →
 heuristics → scrub → keep/drop → bucketed checkpointed write), identical
-input and configuration, cold JVM per leg; each leg taskset-pinned to
-exactly its core budget (8 or 32 of the sandbox's 32 cores), steady-state
-measurement (one unmeasured warm-up run per leg pays JVM codegen, python
-worker spawn and this VM's erratic cold-page costs).
+input and configuration.  Legs alternate 8→32→8→32… in fresh taskset-pinned
+subprocesses (one unmeasured warm-up run each), so this VM's multi-minute
+drift windows hit both legs symmetrically; see bench.py::scaling for the
+full methodology rationale.
 
-| leg | best wall-clock (s) | docs/sec | all runs (s) |
+| pair | local[8] (s) | local[32] (s) | pairwise efficiency |
 |---|---|---|---|
-| local[8]  | {legs[8]["seconds"]} | {legs[8]["docs_per_sec"]} | {legs[8]["all_runs_sec"]} |
-| local[32] | {legs[32]["seconds"]} | {legs[32]["docs_per_sec"]} | {legs[32]["all_runs_sec"]} |
+""" + "\n".join(
+        f"| {i} | {a['seconds']} | {b['seconds']} | {e} |"
+        for i, (a, b, e) in enumerate(zip(runs[8], runs[32], pair_effs))
+    ) + f"""
 
-Best-of-N per leg: this sandbox VM exhibits multi-second random stalls
-(cold-page storms — identical numpy ops measured 0.02s..3s); the best run
-reflects the hardware-independent scaling behavior of the plan.
+| leg | best wall-clock (s) | docs/sec |
+|---|---|---|
+| local[8]  | {best[8]} | {tput[8]} |
+| local[32] | {best[32]} | {tput[32]} |
 
 **Scaling efficiency (N→4N cores)** = docs/sec@32 / (4 × docs/sec@8)
-= **{eff:.3f}** (target ≥ 0.8).
+= **{eff:.3f}** (target ≥ 0.8); pairwise samples {pair_effs}.
 
 Sandbox evidence for the north rule's two-cluster-size criterion
 (BASELINE.json): parallelism levels stand in for executor counts; the
-pipeline has no driver-side bottleneck stage (models broadcast once,
-all stages partition-parallel), so thread-level scaling is the
-local-mode proxy for executor-level scaling.
+pipeline has no driver-side bottleneck stage (models broadcast once, all
+stages partition-parallel, commit is O(buckets) renames), so thread-level
+scaling is the local-mode proxy for executor-level scaling.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(md)
-    print(json.dumps({"legs": legs, "efficiency": round(eff, 3)}))
+    print(json.dumps({
+        "best_seconds": best, "docs_per_sec": tput,
+        "efficiency": round(eff, 3), "pairwise": pair_effs,
+    }))
 
 
 if __name__ == "__main__":

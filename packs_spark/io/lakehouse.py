@@ -7,14 +7,24 @@ the piece Iceberg's snapshot metadata provides.  This sandbox has no Iceberg
 runtime jar (no network), so the same semantics are built from primitives
 that ship with Spark:
 
-* data: parquet partitioned by ``bucket`` (url-hash bucket), written with
-  ``partitionOverwriteMode=dynamic`` so re-processing a bucket is an
-  **idempotent overwrite**, never a duplicate append;
+* data: one parquet file per url-hash bucket, ``bucket-<b>.parquet``, flat
+  under the table root (the ``bucket`` column is stored IN the file).  The
+  pipeline's ``repartition_by_bucket`` places bucket b in task-partition b
+  exactly, so the plain parquet writer emits exactly one part file per
+  bucket — which the driver then moves to its final name with an atomic
+  ``os.replace``.  Re-processing a bucket is an **idempotent file
+  replacement**, never a duplicate append.
 * commit log: one JSON marker per completed bucket under ``_progress/``,
-  written by the driver only *after* the Spark write action for that wave
-  succeeds.  A marker is the unit of resume: buckets with markers are
-  skipped on restart, buckets without are recomputed (their partial output,
-  if any, is overwritten).
+  written by the driver only *after* the wave's files are in place.  A
+  marker is the unit of resume: buckets with markers are skipped on
+  restart, buckets without are recomputed (their partial output, if any,
+  is overwritten).
+
+Why not ``partitionBy("bucket")`` + dynamic partition overwrite: that path
+stages every file and serially re-links one directory per bucket in the
+driver's commit — measurably slower than the task write itself at high
+core counts, and none of it buys anything when partition == bucket == one
+file by construction.
 
 Swap-in for Iceberg: replace ``_write_wave`` with
 ``df.writeTo(table).overwritePartitions()`` and ``completed_buckets`` with a
@@ -25,6 +35,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 from collections.abc import Callable
 
@@ -32,6 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PROGRESS_DIR = "_progress"
+
+_PART_RE = re.compile(r"^part-(\d+)-.*\.parquet$")
 
 
 class CheckpointedWriter:
@@ -77,26 +91,90 @@ class CheckpointedWriter:
         os.replace(tmp, marker)  # atomic on POSIX
 
     # ---- write ------------------------------------------------------
+    def _bucket_file(self, bucket: int) -> str:
+        return os.path.join(self.base_path, f"bucket-{bucket:05d}.parquet")
+
+    def _file_bucket(self, path: str) -> int | None:
+        """Bucket id of a staged part file from its parquet footer
+        statistics (driver-side metadata read, no data scan).  None for an
+        empty file; raises if the file mixes buckets — the one-bucket-per-
+        file invariant is what makes per-bucket overwrite idempotent."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            return None
+        col_idx = meta.schema.names.index(self.bucket_col)
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                raise RuntimeError(f"no bucket statistics in {path}")
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo != hi:
+            raise RuntimeError(
+                f"staged file {path} spans buckets {lo}..{hi} — input is not "
+                f"one-bucket-per-partition (use repartition_by_bucket with "
+                f"n_buckets={self.n_buckets})"
+            )
+        return int(lo)
+
+    def _write_wave(self, wave_df: DataFrame, wave: list[int]) -> None:
+        """One Spark action: plain parquet write to a staging dir (the
+        upstream repartition_by_bucket makes every task's output a single
+        bucket), then atomic per-file renames into place.  Bucket identity
+        comes from each file's footer stats, not its task index — robust to
+        AQE renumbering partitions on filtered resume waves.  A crash
+        between renames re-runs the wave; os.replace is idempotent."""
+        staging = os.path.join(self.base_path, f"_staging-{os.getpid()}-{wave[0]}")
+        wave_df.write.mode("overwrite").parquet(staging)
+        wave_set = set(wave)
+        try:
+            for name in os.listdir(staging):
+                if not _PART_RE.match(name):
+                    continue
+                src = os.path.join(staging, name)
+                bucket = self._file_bucket(src)
+                if bucket is None:
+                    continue  # empty placeholder file
+                if bucket not in wave_set:
+                    raise RuntimeError(
+                        f"staged file {name} holds bucket {bucket}, outside "
+                        f"the wave {sorted(wave_set)} — wave filter broke"
+                    )
+                os.replace(src, self._bucket_file(bucket))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def write_resumable(
         self,
         df: DataFrame,
         wave_size: int | None = None,
         on_wave: Callable[[list[int]], None] | None = None,
+        assume_placed: bool = False,
     ) -> dict:
-        """Write ``df`` (which must carry ``bucket_col``) partition-by-bucket,
-        skipping buckets already committed, committing markers per wave.
+        """Write ``df`` (which must carry ``bucket_col``) skipping buckets
+        already committed, committing markers per wave.
+
+        ``assume_placed=True`` promises the input is already
+        one-bucket-per-partition (pipeline.partitioning.repartition_by_bucket
+        upstream of expensive stages); otherwise the writer adds that
+        shuffle itself.
 
         ``wave_size`` trades checkpoint granularity against job count: one
         wave = one Spark action over ``wave_size`` buckets.  With the default
         (all pending buckets in a single action) a crash loses at most one
         wave of work; per-bucket markers still make resume exact.
         """
-        spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pending = self.pending_buckets()
         stats: dict = {"skipped": self.n_buckets - len(pending), "written": 0}
         if not pending:
             return stats
+        if not assume_placed:
+            from packs_spark.pipeline.partitioning import repartition_by_bucket
+
+            df = repartition_by_bucket(df, self.n_buckets, self.bucket_col)
         wave_size = wave_size or len(pending)
         for i in range(0, len(pending), wave_size):
             wave = pending[i : i + wave_size]
@@ -108,11 +186,7 @@ class CheckpointedWriter:
             else:
                 wave_df = df.where(F.col(self.bucket_col).isin(wave))
             t0 = time.time()
-            # Count rows per bucket in the same action via an accumulator-free
-            # post-hoc read of the written partition (cheap: footer metadata).
-            wave_df.write.mode("overwrite").partitionBy(self.bucket_col).parquet(
-                self.base_path
-            )
+            self._write_wave(wave_df, wave)
             elapsed = time.time() - t0
             for b in wave:
                 self._commit(

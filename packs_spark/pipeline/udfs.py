@@ -102,12 +102,57 @@ def make_scrub_udf():
     return scrub_udf
 
 
+import re as _re
+
+_SYM_RE = _re.compile(r"[^A-Za-z0-9\s]")
+
+
+def _heuristic_batch(tl, stop_set):
+    """Quality-signal arrays for one Arrow batch, Python-string semantics
+    (identical to tests/pandas_oracle.heuristics_oracle — str.split() on
+    unicode whitespace, Python-re symbol class).  One C-level tokenize pass
+    per document inside the batch; all arithmetic on numpy arrays.  Moved
+    here from JVM Column expressions: the split/array_distinct/isin chain
+    cost more JVM time than this whole UDF, and Python semantics make the
+    keep/drop parity with the oracle exact instead of F1≈1."""
+    import numpy as np
+
+    n = len(tl)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_words = np.zeros(n, dtype=np.int64)
+    n_sym = np.zeros(n, dtype=np.int64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    isnull = np.zeros(n, dtype=bool)
+    for i, t in enumerate(tl):
+        if t is None:
+            isnull[i] = True
+            continue
+        n_chars[i] = len(t)
+        n_sym[i] = len(_SYM_RE.findall(t))
+        ws = t.split()
+        n_words[i] = len(ws)
+        if ws:
+            low = [w.lower() for w in ws]
+            stop_hits[i] = sum(1 for w in low if w in stop_set)
+            n_distinct[i] = len(set(low))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
+        stopword_ratio = np.where(
+            n_words > 0, stop_hits / np.maximum(n_words, 1), 0.0
+        )
+        distinct_ratio = np.where(
+            n_words > 0, n_distinct / np.maximum(n_words, 1), 1.0
+        )
+    return n_chars, n_words, symbol_ratio, stopword_ratio, distinct_ratio, isnull
+
+
 def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
     """Fused pipeline UDF: one Arrow round-trip of the text column computes
-    langid + perplexity + scrub together (three separate pandas UDFs would
-    ship the same strings to Python three times — at 10^12 docs the Arrow
-    transfer IS the cost, so the fusion is a ~3× cut of Python-boundary
-    traffic)."""
+    langid + perplexity + heuristics + scrub together (separate pandas UDFs
+    would ship the same strings to Python several times — at 10^12 docs the
+    Arrow transfer IS the cost, so the fusion is a ~4× cut of
+    Python-boundary traffic)."""
     import numpy as np
 
     from packs_spark.ml.ngram import LangIdModel, PerplexityModel
@@ -141,8 +186,19 @@ def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
                 ),
             ),
             T.StructField("n_hits", T.IntegerType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("symbol_ratio", T.DoubleType()),
+            T.StructField("stopword_ratio", T.DoubleType()),
+            T.StructField("distinct_ratio", T.DoubleType()),
+            T.StructField("keep_heuristic", T.BooleanType()),
         ]
     )
+
+    from packs_spark.pipeline.rules import DEFAULTS, STOPWORDS
+
+    th = dict(DEFAULTS)
+    stop_set = frozenset(STOPWORDS)
 
     @F.pandas_udf(schema)
     def enrich_udf(texts: pd.Series) -> pd.DataFrame:
@@ -154,6 +210,18 @@ def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
         idx, margin, ppl = fused_predict(tl, tables, len(langs))
         labels = [langs[i] if i >= 0 else "unknown" for i in idx]
         scrubbed, spans = scrub_batch(tl)
+        n_chars, n_words, sym_r, stop_r, dist_r, isnull = _heuristic_batch(
+            tl, stop_set
+        )
+        keep_h = (
+            ~isnull
+            & (n_chars >= th["min_chars"])
+            & (n_chars <= th["max_chars"])
+            & (n_words >= th["min_words"])
+            & (sym_r <= th["max_symbol_ratio"])
+            & (stop_r >= th["min_stopword_ratio"])
+            & (dist_r >= th["min_distinct_ratio"])
+        )
         return pd.DataFrame(
             {
                 "lang": labels,
@@ -162,6 +230,12 @@ def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
                 "scrubbed": scrubbed,
                 "spans": spans,
                 "n_hits": [len(s) for s in spans],
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "symbol_ratio": sym_r,
+                "stopword_ratio": stop_r,
+                "distinct_ratio": dist_r,
+                "keep_heuristic": keep_h,
             }
         )
 

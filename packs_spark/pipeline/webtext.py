@@ -83,9 +83,14 @@ def run_batch(
 
     enrich_udf = make_enrich_udf(spark)
 
+    # The fused UDF computes EVERYTHING per document in one Arrow pass —
+    # langid, perplexity, scrub AND the heuristic quality signals (Python
+    # string semantics, exactly the oracle's; see udfs._heuristic_batch).
+    # The JVM-expression twin of the heuristics lives in quality_columns()
+    # (oracle-checked flagship query); the pipeline uses the UDF form
+    # because the text is already crossing the Arrow boundary anyway.
     enriched = (
-        quality_columns(df)
-        .withColumn("__e", enrich_udf(F.col("text")))
+        df.withColumn("__e", enrich_udf(F.col("text")))
         .select(
             "*",
             F.col("__e.lang").alias("lang_pred"),
@@ -94,6 +99,12 @@ def run_batch(
             F.col("__e.scrubbed").alias("text_scrubbed"),
             F.col("__e.spans").alias("scrub_spans"),
             F.col("__e.n_hits").alias("pii_hits"),
+            F.col("__e.n_chars").alias("q_n_chars"),
+            F.col("__e.n_words").alias("q_n_words"),
+            F.col("__e.symbol_ratio").alias("q_symbol_ratio"),
+            F.col("__e.stopword_ratio").alias("q_stopword_ratio"),
+            F.col("__e.distinct_ratio").alias("q_distinct_ratio"),
+            F.col("__e.keep_heuristic").alias("keep_heuristic"),
         )
         .drop("__e")
     )
@@ -101,7 +112,7 @@ def run_batch(
     labeled = (
         enriched.withColumn(
             "keep",
-            F.col("keep")  # heuristic conjunction from quality_columns
+            F.col("keep_heuristic")
             & (F.col("lang_pred") != "unknown")
             & (F.col("lang_margin") >= t["min_margin"])
             & (F.col("ppl") <= t["max_ppl"]),
@@ -117,7 +128,7 @@ def run_batch(
 
     writer = CheckpointedWriter(output_path, n_buckets)
     t0 = _time.time()
-    stats = writer.write_resumable(labeled, wave_size=wave_size)
+    stats = writer.write_resumable(labeled, wave_size=wave_size, assume_placed=True)
     stats["write_s"] = round(_time.time() - t0, 2)
 
     # per-bucket rule-level metrics (north rule: per-partition metrics),
