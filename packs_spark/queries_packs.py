@@ -1146,3 +1146,87 @@ def q_timeliness_mixed_dates(spark, sf_dir):
             F.countDistinct(F.col("ts").cast("date")).alias("n_distinct_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-table broadcast-join rollup (SURVEY.md §2.3 J1 at depth: the packs
+# only ever join two tables; a real quality rollout slices metrics by
+# dimensions — nation/segment here.  Scale shape: nation (25 rows) and
+# customer (small vs orders) broadcast; ONE shuffle total, the final
+# groupBy — Catalyst plans broadcast-hash joins with no fact-side exchange)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rollup_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+       c.c_mktsegment AS segment,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_revenue,
+       round(avg(o.o_totalprice), 2) AS avg_order_value,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+ORDER BY nation, segment
+""",
+)
+def q_orders_rollup(spark, sf_dir):
+    """Fact-dim-dim join with explicit broadcast hints on the dims."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_finished"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (SURVEY.md §2.6: the packs cap exports with plain limits;
+# the engine form is rank-per-group — row_number window, ties broken
+# deterministically by key so both engines agree)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_topk_by_brand",
+    oracle="""
+WITH r AS (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+)
+SELECT p_brand, p_partkey, p_name, p_retailprice, rank
+FROM r WHERE rank <= 3
+ORDER BY p_brand, rank
+""",
+)
+def q_part_topk(spark, sf_dir):
+    """Top-3 parts by retail price per brand.  At scale the window's
+    partitionBy is the only shuffle; per-partition top-k is computed
+    map-side by the WindowExec's rank-limit pushdown (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        load(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("p_brand", "rank")
+    )
