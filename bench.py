@@ -45,7 +45,10 @@ HEADLINE = [
     "webtext_quality_filter",
 ]
 
-PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# 1M docs: the pipeline's fixed per-run cost (~1.5s of scheduling/metrics/
+# commit) is amortized to <25% — the headline docs/sec reflects steady
+# state, not job-launch overhead.
+PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 
 
 def _pages_parquet(n_docs: int) -> str:
@@ -85,7 +88,7 @@ def run_pipeline_leg(cpus: int, n_docs: int) -> dict:
     # sandbox's erratic first-touch page-fault cost (identical numpy ops
     # vary 0.02s..3s on cold pages here).  The measured run is then pure
     # pipeline execution, which is what scales with cores.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     out = tempfile.mkdtemp(prefix="bench_webtext_")
     try:
         # Warm on a SMALL input with the identical plan shape: pays JVM
