@@ -485,3 +485,39 @@ def q_multimodal_metadata(spark, sf_dir):
             F.avg(F.aggregate("features", F.lit(0.0), lambda a, x: a + x)), 3
         ).alias("avg_feat_l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# salted per-host metric rollup (north rule: skew handled explicitly —
+# a hot host's rows never meet one reducer; phase 1 aggregates per
+# (host, salt), phase 2 merges ≤ n_salt partials per host.  The oracle is
+# the plain GROUP BY: the salted two-phase plan must be value-identical.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "webtext_host_metrics_salted",
+    oracle="""
+SELECT source AS host,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents
+GROUP BY source
+ORDER BY host
+""",
+)
+def q_host_metrics_salted(spark, sf_dir):
+    from packs_spark.pipeline.partitioning import salted_host_metrics
+
+    df = load(spark, sf_dir, "documents").withColumnRenamed("source", "host")
+    out = salted_host_metrics(
+        df,
+        {
+            "n_docs": F.count(F.lit(1)),
+            "total_chars": F.sum("n_chars"),
+            "n_en": F.sum((F.col("lang") == "en").cast("long")),
+        },
+        n_salt=8,
+    )
+    return out.orderBy("host")

@@ -145,3 +145,28 @@ def test_repartition_by_bucket_exact_placement(spark):
     )
     assert placed.where(F.col("bucket") != F.col("pid")).count() == 0
     assert placed.select("pid").distinct().count() == n
+
+
+def test_salted_host_metrics_equals_plain_groupby(spark, pages_pd):
+    from pyspark.sql import functions as F
+
+    from packs_spark.pipeline.partitioning import host_of, salted_host_metrics
+
+    sdf = spark.createDataFrame(pages_pd).withColumn(
+        "host", host_of(F.col("url"))
+    )
+    aggs = {
+        "n_docs": F.count(F.lit(1)),
+        "total_chars": F.sum(F.length("text")),
+    }
+    salted = {
+        (r["host"]): (r["n_docs"], r["total_chars"])
+        for r in salted_host_metrics(sdf, aggs, n_salt=4).collect()
+    }
+    plain = {
+        (r["host"]): (r["n_docs"], r["total_chars"])
+        for r in sdf.groupBy("host").agg(
+            *[e.alias(n) for n, e in aggs.items()]
+        ).collect()
+    }
+    assert salted == plain and len(salted) > 1
