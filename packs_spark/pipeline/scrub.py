@@ -57,16 +57,19 @@ def combined_pattern() -> "re.Pattern[str]":
 # plus C-level substring checks skip the expensive scan for the ~90% of
 # web documents that cannot match anything.
 _PREFILTER = re.compile(r"[@:0-9]")
-_TERMS_LOWER = tuple(t.lower() for t in BLOCKLIST_TERMS)
+# casefold, not lower: re.IGNORECASE uses Unicode case folding, so e.g.
+# 'ſlurword' (U+017F long s) matches (?i:slurword) while 'ſ'.lower() stays
+# 'ſ' — lower() here would be a false-negative prefilter (missed scrub)
+_TERMS_FOLDED = tuple(t.casefold() for t in BLOCKLIST_TERMS)
 
 
 def _may_match(text: str) -> bool:
     if _PREFILTER.search(text):
         return True
-    if not _TERMS_LOWER:
+    if not _TERMS_FOLDED:
         return False
-    low = text.lower()
-    return any(term in low for term in _TERMS_LOWER)
+    folded = text.casefold()
+    return any(term in folded for term in _TERMS_FOLDED)
 
 
 def scrub_with_spans(

@@ -1,0 +1,89 @@
+"""Property-based hardening (hypothesis) for the scrub path and heuristic
+signals — the byte-parity-critical pure-Python pieces, tested WITHOUT
+Spark so hypothesis can run thousands of adversarial inputs fast."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from packs_spark.pipeline.scrub import (
+    REPLACEMENT,
+    _may_match,
+    combined_pattern,
+    scrub_with_spans,
+)
+
+# text including PII-ish fragments, unicode case-folding traps (ſ, K),
+# whitespace varieties, and plain junk
+_fragments = st.sampled_from(
+    [
+        "john.doe@example.com",
+        "10.0.0.1",
+        "999.999.999.999",
+        "123-45-6789",
+        "12345-6789",
+        "badword1",
+        "BADWORD1",
+        "ſlurword",  # long s: (?i) matches 'slurword', lower() does not fold
+        "Kbadword2",  # KELVIN SIGN
+        "x@y",
+        "a.b.c",
+        " \t\n   ",
+        "κόσμε",
+        "naïve café",
+        "",
+    ]
+)
+_texts = st.lists(
+    st.one_of(_fragments, st.text(max_size=40)), max_size=8
+).map(" ".join)
+
+
+@given(_texts)
+@settings(max_examples=300, deadline=None)
+def test_prefilter_never_false_negative(text):
+    """If the prefilter says 'cannot match', the full scan must agree —
+    a prefilter false negative would silently skip a scrub."""
+    if not _may_match(text):
+        assert combined_pattern().search(text) is None
+
+
+@given(_texts)
+@settings(max_examples=300, deadline=None)
+def test_scrub_splice_reconstruction(text):
+    """The scrubbed text is exactly the original with each span replaced
+    by its kind's token, left to right — spans are on the original text,
+    non-overlapping, in positional order."""
+    scrubbed, spans = scrub_with_spans(text)
+    # spans sorted and non-overlapping
+    for (_, s1, e1), (_, s2, e2) in zip(spans, spans[1:]):
+        assert s1 <= s2 and e1 <= s2
+    out, pos = [], 0
+    for kind, s, e in spans:
+        out.append(text[pos:s])
+        out.append(REPLACEMENT[kind])
+        pos = e
+    out.append(text[pos:])
+    assert "".join(out) == scrubbed
+
+
+@given(_texts)
+@settings(max_examples=200, deadline=None)
+def test_heuristic_batch_matches_pandas_oracle(text):
+    """UDF-side heuristics == the pandas-oracle recomputation, bit-exact."""
+    from packs_spark.pipeline.rules import STOPWORDS
+    from packs_spark.pipeline.udfs import _heuristic_batch
+    from tests.pandas_oracle import heuristics_oracle
+
+    got = _heuristic_batch([text], frozenset(STOPWORDS))
+    n_chars, n_words, sym_r, stop_r, dist_r, isnull = got
+    ref = heuristics_oracle(pd.Series([text])).iloc[0]
+    assert n_chars[0] == ref["n_chars"]
+    assert n_words[0] == ref["n_words"]
+    assert sym_r[0] == ref["symbol_ratio"]
+    assert stop_r[0] == ref["stopword_ratio"]
+    assert dist_r[0] == ref["distinct_ratio"]
