@@ -124,3 +124,30 @@ def knn_normality(
         F.lit(float(row["normality_score"])).alias("normality_score"),
         F.round(F.lit(max_score), 6).alias("max_knn_score"),
     )
+
+
+def one_hot_columns(
+    df: DataFrame, col: str, max_categories: int = 100
+) -> tuple[DataFrame, list[str]]:
+    """Sparse-free one-hot encoding of a low-cardinality categorical as
+    plain double Columns (reference A15: one-hot cap of 100 distinct,
+    outlier_detection_pack/main.py:8,265-283; wider columns are skipped).
+
+    Categories are collected once (sorted for determinism — the
+    reference's sklearn OHE also sorts) and become literal comparisons:
+    pure codegen, no Spark ML pipeline state, broadcast-free.  Returns
+    (df with the new columns, their names) — empty list when skipped.
+    """
+    cats = [
+        r[0]
+        for r in df.select(col).distinct().limit(max_categories + 1).collect()
+        if r[0] is not None
+    ]
+    if len(cats) > max_categories:
+        return df, []
+    names = []
+    for v in sorted(cats):
+        name = f"{col}__{v}"
+        df = df.withColumn(name, (F.col(col) == F.lit(v)).cast("double"))
+        names.append(name)
+    return df, names

@@ -1230,3 +1230,71 @@ def q_part_topk(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .orderBy("p_brand", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# multivariate KNN outliers with one-hot categoricals (SURVEY §2.4 A14+A15:
+# the reference one-hot-encodes categoricals with ≤100 distinct values and
+# runs PyOD KNN over numeric+encoded features,
+# outlier_detection_pack/main.py:265-296)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outlier_knn_multivariate",
+    oracle="""
+WITH enc AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v0,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS s_f,
+         CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END AS s_o,
+         CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END AS s_p,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS p1,
+         CASE WHEN o_orderpriority = '2-HIGH' THEN 1.0 ELSE 0.0 END AS p2,
+         CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1.0 ELSE 0.0 END AS p3,
+         CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1.0 ELSE 0.0 END AS p4,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1.0 ELSE 0.0 END AS p5,
+         o_orderkey
+  FROM orders
+),
+fit AS (SELECT * FROM enc ORDER BY o_orderkey LIMIT 500),
+l AS (SELECT *, row_number() OVER () AS rid FROM enc),
+p AS (
+  SELECT l.rid,
+         sqrt((l.v0-f.v0)*(l.v0-f.v0) + (l.s_f-f.s_f)*(l.s_f-f.s_f)
+            + (l.s_o-f.s_o)*(l.s_o-f.s_o) + (l.s_p-f.s_p)*(l.s_p-f.s_p)
+            + (l.p1-f.p1)*(l.p1-f.p1) + (l.p2-f.p2)*(l.p2-f.p2)
+            + (l.p3-f.p3)*(l.p3-f.p3) + (l.p4-f.p4)*(l.p4-f.p4)
+            + (l.p5-f.p5)*(l.p5-f.p5)) AS d
+  FROM l CROSS JOIN fit f
+),
+kth AS (
+  SELECT rid, d AS score FROM (
+    SELECT rid, d, row_number() OVER (PARTITION BY rid ORDER BY d) AS rn
+    FROM p
+  ) WHERE rn = 5
+),
+m AS (SELECT max(score) AS mx FROM kth),
+s AS (SELECT 1.0 - score / (mx + 1e-9) AS inlier, mx FROM kth, m)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN inlier < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(avg(inlier), 4) AS normality_score,
+       round(max(mx), 6) AS max_knn_score
+FROM s
+""",
+)
+def q_outlier_knn_multivariate(spark, sf_dir):
+    """Numeric + one-hot categorical features through the same driver-fit
+    broadcast KNN scorer.  The OHE columns are literal comparisons
+    (codegen), so the only extra cost vs univariate is the wider distance
+    matrix inside the scoring UDF."""
+    from packs_spark.ml.knn import knn_normality, one_hot_columns
+
+    df = load(spark, sf_dir, "orders")
+    feats = ["o_totalprice"]
+    for c in ("o_orderstatus", "o_orderpriority"):
+        df, names = one_hot_columns(df, c, max_categories=100)
+        feats.extend(names)
+    return knn_normality(
+        df, feats, ["o_orderkey"], k=5, fit_cap=500
+    )
