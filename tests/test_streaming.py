@@ -87,3 +87,70 @@ def test_multimodal_decode_stub_raises():
         decode_image(b"\x89PNG....")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF....")
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization emits each CLOSED session
+    exactly once; every emitted session must match the batch recomputation
+    (each user's final session legitimately stays in state)."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from packs_spark.streaming.pipeline import sessionize_stream
+
+    src = str(tmp_path / "src")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") < 20
+    )
+    events.write.parquet(src)
+
+    out = str(tmp_path / "out")
+    q = (
+        sessionize_stream(spark, src, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+
+    # batch truth: gap-based sessions per user, drop each user's LAST
+    # session (still open in streaming state)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = events.withColumn(
+        "sid", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+    )
+    last = per.groupby("user_id")["sid"].transform("max")
+    closed = per[per.sid != last]
+
+    def key(df, s, e, n):
+        return {
+            (int(r["user_id"]), round(float(r[s]), 6), round(float(r[e]), 6), int(r[n]))
+            for _, r in df.iterrows()
+        }
+
+    got_keys = key(
+        got.assign(
+            start_us=got.session_start * 1e6, end_us=got.session_end * 1e6
+        ),
+        "start_us", "end_us", "n_events",
+    )
+    want_keys = key(closed, "start_us", "end_us", "n_events")
+    assert len(want_keys) > 0
+    assert got_keys == want_keys
