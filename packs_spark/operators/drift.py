@@ -48,6 +48,27 @@ def ks_2sample(
         F.sum("is_a").alias("ca"),
         F.sum(1 - F.col("is_a")).alias("cb"),
     )
+    # Adaptive small-cardinality fast path: the grouped frame has one row
+    # per DISTINCT value — for low-cardinality columns (flags, quantities,
+    # ratings) that is tiny regardless of row count, and the exact sup is
+    # one sorted pass on the driver instead of the quantile + window plan
+    # (saves ~3 Spark jobs).  The distributed bucketed path below is the
+    # scale path for genuinely high-cardinality columns.
+    small_cap = 100_000
+    head = g.limit(small_cap + 1).collect()
+    if len(head) <= small_cap:
+        rows = sorted(head, key=lambda r: r["x"])
+        n_a = sum(r["ca"] for r in rows)
+        n_b = sum(r["cb"] for r in rows)
+        if n_a == 0 or n_b == 0:
+            return 0.0, n_a, n_b
+        cum_a = cum_b = 0
+        d = 0.0
+        for r in rows:
+            cum_a += r["ca"]
+            cum_b += r["cb"]
+            d = max(d, abs(cum_a / n_a - cum_b / n_b))
+        return float(d), n_a, n_b
     g = g.persist()
     try:
         # Bucket boundaries from the grouped keys (small frame).
