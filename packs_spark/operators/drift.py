@@ -143,3 +143,64 @@ def drift_score(p_values: list[float], alpha: float = 0.05) -> float:
     if not p_values:
         return 1.0
     return sum(1.0 if p >= alpha else 0.0 for p in p_values) / len(p_values)
+
+
+def psi_2sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference sample (A) and a
+    current sample (B): bucket by A's exact deciles, PSI = Σ (pa−pb)·ln(pa/pb)
+    with proportions floored at ``eps`` (standard monitoring practice).
+
+    Cross-engine determinism: edges are rounded to 6 decimals before
+    bucketing in BOTH engines (Spark `percentile` and DuckDB
+    `quantile_cont` use the same linear interpolation, but last-ulp
+    differences at a bucket edge would otherwise flip counts).
+
+    Scale shape: one exact-percentile pass over A (sorted aggregation),
+    then ONE tagged groupBy pass over A∪B; the per-bucket table
+    (n_buckets rows) finishes on the driver.
+    """
+    spark = df_a.sparkSession
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    a = df_a.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    b = df_b.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    arr = ", ".join(str(p) for p in probs)
+    edges = [
+        round(float(e), 6)
+        for e in a.agg(F.expr(f"percentile(x, array({arr}))")).collect()[0][0]
+    ]
+    bucket = F.lit(n_buckets - 1)
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(F.col("x") <= F.lit(edges[i]), F.lit(i)).otherwise(bucket)
+    tagged = a.withColumn("is_a", F.lit(1)).unionByName(
+        b.withColumn("is_a", F.lit(0))
+    )
+    counts = (
+        tagged.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(1 - F.col("is_a")).alias("cb"),
+        )
+        .collect()
+    )
+    n_a = sum(r["ca"] for r in counts)
+    n_b = sum(r["cb"] for r in counts)
+    by_bucket = {r["bucket"]: (r["ca"], r["cb"]) for r in counts}
+    psi = 0.0
+    for i in range(n_buckets):
+        ca, cb = by_bucket.get(i, (0, 0))
+        pa = max(ca / n_a if n_a else 0.0, eps)
+        pb = max(cb / n_b if n_b else 0.0, eps)
+        psi += (pa - pb) * math.log(pa / pb)
+    return spark.range(1).select(
+        F.round(F.lit(psi), 4).alias("psi"),
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.lit(psi >= 0.2).alias("major_shift"),
+    )

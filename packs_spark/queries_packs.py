@@ -1315,3 +1315,59 @@ def q_outlier_knn_multivariate(spark, sf_dir):
     return knn_normality(
         df, feats, ["o_orderkey"], k=5, fit_cap=500
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (additive alongside A13's KS: the standard monitoring metric
+# for distribution shift — bucket by the reference sample's deciles,
+# Σ (pa-pb)·ln(pa/pb))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_psi_lineitem",
+    oracle="""
+WITH a AS (SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_extendedprice IS NOT NULL),
+b AS (SELECT l_extendedprice AS x FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_extendedprice IS NOT NULL),
+e AS (SELECT [round(q, 6) FOR q IN quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS ed FROM a),
+t AS (
+  SELECT CASE
+           WHEN x <= ed[1] THEN 0 WHEN x <= ed[2] THEN 1
+           WHEN x <= ed[3] THEN 2 WHEN x <= ed[4] THEN 3
+           WHEN x <= ed[5] THEN 4 WHEN x <= ed[6] THEN 5
+           WHEN x <= ed[7] THEN 6 WHEN x <= ed[8] THEN 7
+           WHEN x <= ed[9] THEN 8 ELSE 9
+         END AS bucket, is_a
+  FROM (SELECT x, TRUE AS is_a FROM a UNION ALL SELECT x, FALSE FROM b), e
+),
+c AS (
+  SELECT bucket,
+         count(*) FILTER (WHERE is_a) AS ca,
+         count(*) FILTER (WHERE NOT is_a) AS cb
+  FROM t GROUP BY bucket
+),
+n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+p AS (
+  SELECT greatest(ca * 1.0 / na, 1e-6) AS pa,
+         greatest(cb * 1.0 / nb, 1e-6) AS pb
+  FROM c, n
+)
+SELECT round(sum((pa - pb) * ln(pa / pb)), 4) AS psi,
+       (SELECT CAST(na AS BIGINT) FROM n) AS n_a,
+       (SELECT CAST(nb AS BIGINT) FROM n) AS n_b,
+       sum((pa - pb) * ln(pa / pb)) >= 0.2 AS major_shift
+FROM p
+""",
+)
+def q_drift_psi(spark, sf_dir):
+    from packs_spark.operators.drift import psi_2sample
+
+    li = load(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return psi_2sample(
+        li.where(F.col("l_shipdate") < split),
+        li.where(F.col("l_shipdate") >= split),
+        "l_extendedprice",
+    )
