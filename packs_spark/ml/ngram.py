@@ -35,7 +35,13 @@ def _normalize_to_bytes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate texts with a separator, return (symbol ids, doc boundary
     offsets).  Non-ASCII bytes map to space via the byte table (langid over
     this alphabet is ASCII-transliteration based by construction)."""
-    sep = b" \x00 "  # the NUL keeps trigrams from spanning documents
+    # every separator byte must be invalid (NUL → symbol -1): with a
+    # mixed separator like b" \x00 " the flanking spaces form VALID windows
+    # with the last two chars of the previous doc and the first two of the
+    # next, contaminating scores across batch neighbors (and making
+    # keep/drop depend on Arrow batch composition).  Three NULs guarantee
+    # every window that touches the gap contains a -1 and is dropped.
+    sep = b"\x00\x00\x00"
     # encode each text exactly once (encoding is a real cost at batch size)
     enc = [
         (t if t is not None else "").encode("utf-8", errors="replace")
@@ -97,8 +103,12 @@ def score_batch(
     if len(codes) == 0:
         return np.zeros((L, n_docs), dtype=np.float64), np.zeros(n_docs, dtype=np.int64)
     scores = np.empty((L, n_docs), dtype=np.float64)
+    # gather from a float64 copy of the (tiny, 27^3-entry) tables so the
+    # segment sums accumulate in float64 — batch-size-independent to 1e-9
+    # and bit-compatible with a per-document python-float loop
+    tables64 = tables.astype(np.float64)
     for li in range(L):
-        vals = np.where(valid, tables[li][safe_codes], 0.0)
+        vals = np.where(valid, tables64[li][safe_codes], 0.0)
         scores[li] = np.add.reduceat(vals, boundaries)
     # reduceat quirk: duplicate boundaries (empty docs) repeat the next
     # segment — zero them out

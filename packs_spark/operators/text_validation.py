@@ -43,11 +43,18 @@ def summary(
             if max_length is not None
             else F.lit(0).cast("long")
         )
+        # mean as exact DECIMAL sum / count, not F.avg: a float average's
+        # last ulp depends on partition reduction order, which can flip the
+        # rounded 2nd decimal vs the oracle on a rounding boundary
+        # (mirrors profiling_numeric_stats in queries_packs.py)
+        mean_ln = F.round(
+            F.sum(ln.cast("decimal(28,4)")).cast("double") / F.count(c), 2
+        )
         aggs += [
             F.count(c).alias(f"{col}__non_null"),
             F.min(ln).alias(f"{col}__min_length"),
             F.max(ln).alias(f"{col}__max_length"),
-            F.round(F.avg(ln), 2).alias(f"{col}__mean_length"),
+            mean_ln.alias(f"{col}__mean_length"),
             below.alias(f"{col}__below_min"),
             above.alias(f"{col}__above_max"),
             TX.count_if(TX.is_empty(c)).alias(f"{col}__empty_count"),
@@ -145,7 +152,8 @@ SELECT
   count({col}) AS non_null,
   coalesce(min(length({col})), 0) AS min_length,
   coalesce(max(length({col})), 0) AS max_length,
-  coalesce(round(avg(length({col})), 2), 0.0) AS mean_length,
+  coalesce(round(CAST(sum(CAST(length({col}) AS DECIMAL(28,4))) AS DOUBLE)
+                 / count({col}), 2), 0.0) AS mean_length,
   CAST({below} AS BIGINT) AS below_min,
   CAST({above} AS BIGINT) AS above_max,
   CASE WHEN count({col}) = 0 THEN 1.0
