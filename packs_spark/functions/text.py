@@ -81,6 +81,43 @@ def word_count(c: Column) -> Column:
     )
 
 
+# Lexical boolean forms recognized by the reference
+# (fhir_compliance_pack/main.py:7-8), matched case-insensitively on the
+# stringified value.
+BOOLEAN_LIKE = ["true", "false", "1", "0", "yes", "no"]
+
+
+def is_boolean_like(c: Column) -> Column:
+    """F11: stringified value is a lexical boolean
+    (fhir_compliance_pack/main.py:7-8).  Or-chain for the same
+    InSet-codegen reason as :func:`is_null_placeholder`."""
+    lc = F.lower(c.cast("string"))
+    pred = F.lit(False)
+    for b in BOOLEAN_LIKE:
+        pred = pred | (lc == F.lit(b))
+    return pred
+
+
+def slugify(c: Column) -> Column:
+    """F15: whitespace runs → underscores (the reference's
+    ``replace_whitespaces_with_underscores`` from qalita_core.utils, used
+    on column names in soda_pack/main.py:44-51)."""
+    return F.regexp_replace(F.trim(c), r"\s+", "_")
+
+
 def count_if(pred: Column) -> Column:
     """Aggregate: number of rows where ``pred`` holds (NULL-safe: NULL → 0)."""
     return F.sum(F.coalesce(pred.cast("long"), F.lit(0)))
+
+
+def slugify_columns(df):
+    """Rename every column with whitespace runs collapsed to underscores,
+    returning ``(renamed_df, association)`` where association maps the
+    slugified name back to the original (the reference keeps the same
+    mapping to translate check results back, soda_pack/main.py:44-51).
+    Pure metadata — no data pass."""
+    import re
+
+    slugs = [re.sub(r"\s+", "_", c.strip()) for c in df.columns]
+    assoc = {s: c for s, c in zip(slugs, df.columns)}
+    return df.toDF(*slugs), assoc

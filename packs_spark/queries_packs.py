@@ -113,51 +113,87 @@ def q_profiling_stats(spark, sf_dir):
     )
 
 
+def _numeric_stats_oracle_branch(col: str) -> str:
+    """One oracle branch of profiling_numeric_stats.  Variance/stddev come
+    from exact DECIMAL moments (S1=sum x, S2=sum x²) so the result is
+    partition-order independent: the decimal sums are exact, and the final
+    double expression ``(S2 - S1*S1/n) / (n-1)`` is the same IEEE arithmetic
+    in Spark and DuckDB (reference emits std/var sample+population,
+    profiling_pack/main.py:392-400)."""
+    return f"""
+SELECT '{col}' AS "column",
+  nn AS non_null,
+  round(mn, 4) AS min_value,
+  round(mx, 4) AS max_value,
+  round(s1, 2) AS sum_value,
+  round(s1 / nn, 4) AS mean_value,
+  round((s2 - s1 * s1 / nn) / (nn - 1), 4) AS var_samp,
+  round((s2 - s1 * s1 / nn) / nn, 4) AS var_pop,
+  round(sqrt((s2 - s1 * s1 / nn) / (nn - 1)), 4) AS std_samp,
+  round(sqrt((s2 - s1 * s1 / nn) / nn), 4) AS std_pop,
+  round(p10, 4) AS p10,
+  round(p25, 4) AS p25,
+  round(p75, 4) AS p75,
+  round(p90, 4) AS p90
+FROM (
+  SELECT count({col}) AS nn,
+         min({col}) AS mn,
+         max({col}) AS mx,
+         CAST(sum(CAST({col} AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+         CAST(sum(CAST({col} AS DECIMAL(18,4)) * CAST({col} AS DECIMAL(18,4)))
+              AS DOUBLE) AS s2,
+         quantile_cont({col}, 0.10) AS p10,
+         quantile_cont({col}, 0.25) AS p25,
+         quantile_cont({col}, 0.75) AS p75,
+         quantile_cont({col}, 0.90) AS p90
+  FROM lineitem
+)"""
+
+
 @register(
     "profiling_numeric_stats",
-    oracle="""
-SELECT 'l_quantity' AS "column",
-  count(l_quantity) AS non_null,
-  round(min(l_quantity), 4) AS min_value,
-  round(max(l_quantity), 4) AS max_value,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_value,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(l_quantity), 4) AS mean_value,
-  round(quantile_cont(l_quantity, 0.10), 4) AS p10,
-  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
-  round(quantile_cont(l_quantity, 0.90), 4) AS p90
-FROM lineitem
-UNION ALL
-SELECT 'l_discount',
-  count(l_discount),
-  round(min(l_discount), 4),
-  round(max(l_discount), 4),
-  round(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE), 2),
-  round(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(l_discount), 4),
-  round(quantile_cont(l_discount, 0.10), 4),
-  round(quantile_cont(l_discount, 0.25), 4),
-  round(quantile_cont(l_discount, 0.75), 4),
-  round(quantile_cont(l_discount, 0.90), 4)
-FROM lineitem
-""",
+    oracle="\nUNION ALL\n".join(
+        _numeric_stats_oracle_branch(c) for c in ("l_quantity", "l_discount")
+    ),
 )
 def q_profiling_numeric(spark, sf_dir):
     df = load(spark, sf_dir, "lineitem")
 
     def one(col):
         c = F.col(col)
-        dec = F.sum(c.cast("decimal(28,4)"))
-        return df.agg(
+        # exact decimal moments: S1 = Σx (scale 4), S2 = Σx² (decimal
+        # multiply, no float rounding); both are reduction-order independent,
+        # so the derived double stats hash-match the oracle bit-for-bit
+        wide = df.agg(
+            F.count(c).alias("nn"),
+            F.min(c).alias("mn"),
+            F.max(c).alias("mx"),
+            F.sum(c.cast("decimal(28,4)")).cast("double").alias("s1"),
+            F.sum(c.cast("decimal(18,4)") * c.cast("decimal(18,4)"))
+            .cast("double")
+            .alias("s2"),
+            F.expr(f"percentile({col}, 0.10)").alias("p10"),
+            F.expr(f"percentile({col}, 0.25)").alias("p25"),
+            F.expr(f"percentile({col}, 0.75)").alias("p75"),
+            F.expr(f"percentile({col}, 0.90)").alias("p90"),
+        )
+        nn, s1, s2 = F.col("nn"), F.col("s1"), F.col("s2")
+        css = s2 - s1 * s1 / nn  # centered sum of squares, double
+        return wide.select(
             F.lit(col).alias("column"),
-            F.count(c).alias("non_null"),
-            F.round(F.min(c), 4).alias("min_value"),
-            F.round(F.max(c), 4).alias("max_value"),
-            F.round(dec.cast("double"), 2).alias("sum_value"),
-            F.round(dec.cast("double") / F.count(c), 4).alias("mean_value"),
-            F.round(F.expr(f"percentile({col}, 0.10)"), 4).alias("p10"),
-            F.round(F.expr(f"percentile({col}, 0.25)"), 4).alias("p25"),
-            F.round(F.expr(f"percentile({col}, 0.75)"), 4).alias("p75"),
-            F.round(F.expr(f"percentile({col}, 0.90)"), 4).alias("p90"),
+            nn.alias("non_null"),
+            F.round("mn", 4).alias("min_value"),
+            F.round("mx", 4).alias("max_value"),
+            F.round(s1, 2).alias("sum_value"),
+            F.round(s1 / nn, 4).alias("mean_value"),
+            F.round(css / (nn - 1), 4).alias("var_samp"),
+            F.round(css / nn, 4).alias("var_pop"),
+            F.round(F.sqrt(css / (nn - 1)), 4).alias("std_samp"),
+            F.round(F.sqrt(css / nn), 4).alias("std_pop"),
+            F.round("p10", 4).alias("p10"),
+            F.round("p25", 4).alias("p25"),
+            F.round("p75", 4).alias("p75"),
+            F.round("p90", 4).alias("p90"),
         )
 
     return one("l_quantity").unionByName(one("l_discount"))
@@ -410,6 +446,167 @@ def q_timeliness(spark, sf_dir):
         F.round(F.greatest(F.lit(0.0), 1.0 - days / F.lit(365.0)), 4).alias(
             "timeliness_score"
         ),
+    )
+
+
+_YEAR_NOW = 2026  # fixed "current year" for the year-validity window
+
+
+@register(
+    "timeliness_year_orders",
+    oracle=f"""
+SELECT 'o_orderyear' AS "column",
+       min(y) AS earliest_year,
+       max(y) AS latest_year,
+       CAST(coalesce(sum(CASE WHEN y BETWEEN 1900 AND {_YEAR_NOW} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_valid_years,
+       CAST(coalesce(sum(CASE WHEN y NOT BETWEEN 1900 AND {_YEAR_NOW} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_out_of_range
+FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y FROM orders WHERE o_orderdate IS NOT NULL)
+""",
+)
+def q_timeliness_year(spark, sf_dir):
+    """A12: year-only min/max over a year-valued column.  The reference
+    detects 4-digit-year columns by sampling and aggregates earliest/latest
+    year (timeliness_pack/main.py:45-51,121-125); validity window is
+    1900..current-year (fixed here for determinism)."""
+    df = load(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate"))
+    in_range = y.between(1900, _YEAR_NOW)
+    return df.where(F.col("o_orderdate").isNotNull()).agg(
+        F.lit("o_orderyear").alias("column"),
+        F.min(y).alias("earliest_year"),
+        F.max(y).alias("latest_year"),
+        F.sum(in_range.cast("long")).alias("n_valid_years"),
+        F.sum((~in_range).cast("long")).alias("n_out_of_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fhir_compliance pack — boolean-like lexical test (fhir_compliance_pack/main.py:7-8)
+# ---------------------------------------------------------------------------
+
+_BOOLEAN_LIKE_SQL = ", ".join(f"'{b}'" for b in TX.BOOLEAN_LIKE)
+
+
+@register(
+    "boolean_like_lineitem",
+    oracle=f"""
+SELECT 'l_linenumber' AS "column",
+       count(l_linenumber) AS non_null,
+       CAST(coalesce(sum(CASE WHEN lower(CAST(l_linenumber AS VARCHAR))
+                              IN ({_BOOLEAN_LIKE_SQL}) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS boolean_like_count,
+       round(coalesce(sum(CASE WHEN lower(CAST(l_linenumber AS VARCHAR))
+                               IN ({_BOOLEAN_LIKE_SQL}) THEN 1 ELSE 0 END), 0) * 1.0
+             / count(l_linenumber), 4) AS boolean_like_ratio
+FROM lineitem
+""",
+)
+def q_boolean_like(spark, sf_dir):
+    """F11: count of values whose stringified form is a lexical boolean
+    (true/false/1/0/yes/no, case-insensitive) — the reference's FHIR
+    boolean compliance test applied per column."""
+    df = load(spark, sf_dir, "lineitem")
+    c = F.col("l_linenumber")
+    hit = TX.count_if(F.when(c.isNotNull(), TX.is_boolean_like(c)))
+    return df.agg(
+        F.lit("l_linenumber").alias("column"),
+        F.count(c).alias("non_null"),
+        hit.alias("boolean_like_count"),
+        F.round(hit / F.count(c), 4).alias("boolean_like_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# soda pack — column/value slugify (soda_pack/main.py:44-51)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "slugify_part_names",
+    oracle=r"""
+SELECT p_partkey, regexp_replace(trim(p_name), '\s+', '_', 'g') AS slug
+FROM part
+""",
+)
+def q_slugify(spark, sf_dir):
+    """F15: whitespace→underscore slugify as a data transform over p_name
+    (the same expression `functions.text.slugify` that
+    `slugify_columns` applies to column names — name-level rename is
+    metadata-only and exercised in tests/test_operators.py)."""
+    df = load(spark, sf_dir, "part")
+    return df.select(
+        F.col("p_partkey"), TX.slugify(F.col("p_name")).alias("slug")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_scanner pack — rows-with-any-PII across columns (pii_scanner_pack/main.py:37-55)
+# ---------------------------------------------------------------------------
+
+_PII_ROW_KEYS = ("email", "ipv4", "usa_ssn", "usa_zipcode", "iban")
+
+
+def _pii_any_sql(col: str) -> str:
+    return " OR ".join(
+        f"regexp_matches({col}, '{rx}')"
+        for k, rx in PII_PATTERNS
+        if k in _PII_ROW_KEYS
+    )
+
+
+@register(
+    "pii_rows_documents",
+    oracle=f"""
+SELECT CAST(coalesce(sum(CASE WHEN ({_pii_any_sql('text')})
+                            OR ({_pii_any_sql('source')}) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS rows_with_pii,
+       count(*) AS total_rows,
+       round(coalesce(sum(CASE WHEN ({_pii_any_sql('text')})
+                             OR ({_pii_any_sql('source')}) THEN 1 ELSE 0 END), 0) * 1.0
+             / count(*), 4) AS pii_row_ratio,
+       CAST((CASE WHEN coalesce(sum(CASE WHEN {_pii_any_sql('text')} THEN 1 ELSE 0 END), 0) > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN coalesce(sum(CASE WHEN {_pii_any_sql('source')} THEN 1 ELSE 0 END), 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pii_columns
+FROM documents
+""",
+)
+def q_pii_rows(spark, sf_dir):
+    """A10: a row counts once if ANY scanned column matches ANY PII pattern
+    (the reference accumulates a row-index set across columns,
+    pii_scanner_pack/main.py:37-55); pii_columns = columns with ≥1 hit.
+    One wide aggregation pass — per-column any-pattern predicates are
+    OR-chains inside codegen, the row-level union is a disjunction of the
+    column predicates (no shuffle, no second scan)."""
+    from packs_spark.functions.patterns import contains_pattern
+
+    df = load(spark, sf_dir, "documents")
+    keep = [(k, rx) for k, rx in PII_PATTERNS if k in _PII_ROW_KEYS]
+
+    def any_pii(col):
+        pred = F.lit(False)
+        for _, rx in keep:
+            pred = pred | contains_pattern(F.col(col), rx)
+        return pred
+
+    cols = ["text", "source"]
+    row_any = F.lit(False)
+    for c in cols:
+        row_any = row_any | any_pii(c)
+    n = F.count(F.lit(1))
+    hits = F.sum(row_any.cast("long"))
+    col_hits = [F.sum(any_pii(c).cast("long")).alias(f"h_{c}") for c in cols]
+    wide = df.agg(hits.alias("rows_with_pii"), n.alias("total_rows"), *col_hits)
+    return wide.select(
+        F.col("rows_with_pii"),
+        F.col("total_rows"),
+        F.round(F.col("rows_with_pii") / F.col("total_rows"), 4).alias(
+            "pii_row_ratio"
+        ),
+        sum(
+            (F.col(f"h_{c}") > 0).cast("long") for c in cols
+        ).alias("pii_columns"),
     )
 
 

@@ -103,3 +103,20 @@ def test_ks_matches_reference_engine(spark, sf_dir):
 def test_drift_score():
     assert drift_score([]) == 1.0
     assert drift_score([0.5, 0.01]) == 0.5
+
+
+def test_slugify_columns_renames_and_maps(spark):
+    from packs_spark.functions.text import slugify_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0)], ["plain", "has space", "  lots \t of  ws  "]
+    )
+    renamed, assoc = slugify_columns(df)
+    assert renamed.columns == ["plain", "has_space", "lots_of_ws"]
+    assert assoc == {
+        "plain": "plain",
+        "has_space": "has space",
+        "lots_of_ws": "  lots \t of  ws  ",
+    }
+    # metadata-only: data unchanged
+    assert renamed.collect() == [(1, "a", 2.0)]
