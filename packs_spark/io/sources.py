@@ -68,21 +68,19 @@ def read_csv(spark: SparkSession, path: str, skiprows: int = 0) -> DataFrame:
     )
     if skiprows:
         # Spark's CSV reader has no skipRows; drop the first N physical
-        # lines via the text reader + monotonic index, then re-parse.
-        # Driver-light: the text scan and the filter are distributed.
-        from pyspark.sql import functions as F
+        # lines from PARTITION 0 ONLY.  textFile assigns lines to splits by
+        # byte range, so the leading skip window always lives in the first
+        # partition — no global sort, no exchange, every other partition
+        # streams through untouched.  (The lines do take one Python pass
+        # for the islice; bounded and shuffle-free, unlike the previous
+        # orderBy(monotonically_increasing_id()) plan which sorted the
+        # whole file.)
+        from itertools import islice
 
-        lines = spark.read.text(path).withColumn(
-            "__i", F.monotonically_increasing_id()
-        )
-        # monotonically_increasing_id is per-partition ordered; a single
-        # csv file read as text is one partition for the leading lines, so
-        # ordering by it reproduces file order for the skip window
-        kept = (
-            lines.orderBy("__i")
-            .offset(skiprows)
-            .select("value")
-            .rdd.map(lambda r: r.value)
+        lines = spark.sparkContext.textFile(path)
+        kept = lines.mapPartitionsWithIndex(
+            lambda idx, it: islice(it, skiprows, None) if idx == 0 else it,
+            preservesPartitioning=True,
         )
         return reader.csv(kept)
     return reader.csv(path)

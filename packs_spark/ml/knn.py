@@ -32,6 +32,43 @@ EPSILON = 1e-9
 DEFAULT_K = 5  # PyOD KNN default n_neighbors
 DEFAULT_FIT_CAP = 100_000  # reference MAX_ROWS_FOR_FULL_KNN
 
+# Memory budget (in doubles) for one batch×fit-chunk distance block —
+# ~64 MB regardless of how big the Arrow batch or the fit sample is.
+_DIST_BLOCK_DOUBLES = 8_000_000
+
+
+def _kth_nn_dist_np(X: np.ndarray, Y: np.ndarray, k: int) -> np.ndarray:
+    """Distance to the k-th nearest row of ``Y`` for every row of ``X``,
+    computed in bounded memory: the fit matrix is processed in chunks and
+    only a running (n, k) block of the k smallest squared distances is
+    kept, so fit_cap=100_000 (the reference's MAX_ROWS_FOR_FULL_KNN)
+    never allocates more than the ~64 MB block — no len(batch)×len(fit)
+    matrix.
+
+    Per-dimension (x-y)² accumulation, NOT the |x|²+|y|²-2x·y GEMM trick:
+    with feature magnitudes ~1e5 and neighbor gaps ~1e-2 the GEMM form
+    cancels catastrophically; this form is bit-compatible with the SQL
+    oracle's (a-b)*(a-b) sums.  Chunking changes only which candidates
+    are *kept*, never a distance value, so results are identical to the
+    full-matrix computation.
+    """
+    n = len(X)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    chunk = max(k, _DIST_BLOCK_DOUBLES // max(n, 1))
+    best: np.ndarray | None = None  # (n, k) smallest d² seen so far
+    for s in range(0, len(Y), chunk):
+        Yc = Y[s : s + chunk]
+        d2 = np.zeros((n, len(Yc)))
+        for j in range(X.shape[1]):
+            diff = X[:, j][:, None] - Yc[:, j][None, :]
+            d2 += diff * diff
+        cand = d2 if best is None else np.concatenate([best, d2], axis=1)
+        kk = min(k, cand.shape[1])
+        best = np.partition(cand, kk - 1, axis=1)[:, :kk]
+    assert best is not None and best.shape[1] >= k
+    return np.sqrt(best.max(axis=1))
+
 
 def knn_scores(
     df: DataFrame,
@@ -44,6 +81,10 @@ def knn_scores(
     point.  Nulls are mean-imputed first (reference main.py:183-186)."""
     spark = df.sparkSession
 
+    # cast features to double BEFORE imputation: na.fill with a float mean
+    # on an integer-typed column silently truncates the fill value
+    for c in feature_cols:
+        df = df.withColumn(c, F.col(c).cast("double"))
     means = {
         c: (r if r is not None else 0.0)
         for c, r in zip(
@@ -71,16 +112,7 @@ def knn_scores(
     def kth_nn_dist(*cols: pd.Series) -> pd.Series:
         X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
         Y = bc_fit.value
-        # per-dimension (x-y)^2 accumulation, NOT the |x|²+|y|²-2x·y GEMM
-        # trick: with feature magnitudes ~1e5 and neighbor gaps ~1e-2 the
-        # GEMM form cancels catastrophically; this form is bit-compatible
-        # with the SQL oracle's (a-b)*(a-b) sums
-        d2 = np.zeros((len(X), len(Y)))
-        for j in range(X.shape[1]):
-            diff = X[:, j][:, None] - Y[:, j][None, :]
-            d2 += diff * diff
-        kth = np.partition(d2, k - 1, axis=1)[:, k - 1]
-        return pd.Series(np.sqrt(kth))
+        return pd.Series(_kth_nn_dist_np(X, Y, k))
 
     return filled.withColumn(
         "knn_score", kth_nn_dist(*[F.col(c).cast("double") for c in feature_cols])

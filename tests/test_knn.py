@@ -63,3 +63,41 @@ def test_knn_mean_imputation_and_guard(spark):
     tiny = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]}))
     with pytest.raises(ValueError, match="KNN needs more than"):
         knn_scores(tiny, ["v"], ["id"], k=5, fit_cap=10)
+
+
+def test_chunked_kth_nn_identical_to_full_matrix_at_reference_cap():
+    """fit_cap=100_000 is the reference's own MAX_ROWS_FOR_FULL_KNN; the
+    chunked running-top-k path must be bounded-memory AND bit-identical
+    to the naive full len(batch)x len(fit) matrix."""
+    from packs_spark.ml.knn import _kth_nn_dist_np
+
+    rng = np.random.default_rng(7)
+    Y = rng.normal(size=(100_000, 3)) * np.array([1e5, 1.0, 1e-2])
+    X = rng.normal(size=(50, 3)) * np.array([1e5, 1.0, 1e-2])
+    k = 5
+
+    got = _kth_nn_dist_np(X, Y, k)
+
+    d2 = np.zeros((len(X), len(Y)))
+    for j in range(X.shape[1]):
+        diff = X[:, j][:, None] - Y[:, j][None, :]
+        d2 += diff * diff
+    expected = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
+
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_knn_integer_features_not_truncated(spark):
+    """Integer feature columns must be cast to double before mean
+    imputation — na.fill with a float mean on an int column truncates."""
+    pdf = pd.DataFrame(
+        {
+            "id": range(12),
+            "x": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, None, None],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"x": "Int64"}))
+    scored = knn_scores(df, ["x"], ["id"], k=2, fit_cap=100)
+    vals = {r.id: r.x for r in scored.collect()}
+    mean = sum(range(1, 11)) / 10.0  # 5.5 — truncation would give 5.0
+    assert vals[10] == mean and vals[11] == mean

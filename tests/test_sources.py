@@ -22,6 +22,20 @@ def test_csv_with_skiprows(spark, tmp_path):
     assert df.schema["id"].dataType.typeName() in ("integer", "long")
 
 
+def test_csv_skiprows_multi_partition_file(spark, tmp_path):
+    """The skip must drop ONLY the leading preamble even when the file is
+    read as many splits — rows deep in the file (other partitions) stream
+    through untouched and none are lost."""
+    p = tmp_path / "big.csv"
+    n = 5000
+    body = "".join(f"{i},name_{i},{i * 0.25}\n" for i in range(n))
+    p.write_text("preamble A\npreamble B\nid,name,score\n" + body)
+    df = read_csv(spark, str(p), skiprows=2)
+    assert df.count() == n
+    got = df.agg({"id": "sum"}).collect()[0][0]
+    assert got == n * (n - 1) // 2
+
+
 def test_csv_no_skiprows(spark, tmp_path):
     p = tmp_path / "t.csv"
     p.write_text("a,b\n1,x\n2,y\n")
