@@ -25,10 +25,14 @@ pipeline.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("packs_spark.operators.dedup")
 
 
 # ---------------------------------------------------------------------------
@@ -92,39 +96,64 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs with exact shingle-Jaccard ≥ threshold.
 
-    Plan: shingle → explode (one row per (doc, shingle)) → optional
+    Plan: shingle → explode (one row per (doc, shingle)) →
     document-frequency cap → self-equi-join on shingle → count shared
     shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).  Output columns:
     (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+
+    ``max_df`` defaults ON (1000): at web scale a single boilerplate
+    shingle makes the self-join quadratic, exactly like a hot key in a
+    skewed groupBy.  Set sizes are computed AFTER the cap, so the result
+    is the *exact* Jaccard over the capped shingle space — numerator and
+    denominator agree (a cap applied to intersections only would
+    systematically underestimate and miss true pairs at the threshold).
+    Pass ``max_df=None`` for exact full-space Jaccard.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
         hot = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_df)
             .select("s")
+            .persist()
         )
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "jaccard_pairs: dropping %d hot shingles with df > %d "
+                "(exact jaccard over the remaining shingle space)",
+                n_hot,
+                max_df,
+            )
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
-    a = ex.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("size_a"), F.col("s")
-    )
-    b = ex.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("size_b"), F.col("s")
-    )
+    # per-doc set sizes from the SAME (capped) shingle space; joined at
+    # pair granularity (one row per doc — a dim-sized join, not a second
+    # shuffle of the exploded frame)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("s"))
+    b = ex.select(F.col("id").alias("id_b"), F.col("s"))
     pairs = (
         a.join(b, "s")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")),
+            "id_b",
+        )
     )
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return pairs.select(

@@ -400,19 +400,23 @@ SELECT CAST((SELECT count(*) FROM orders o
 """,
 )
 def q_referential(spark, sf_dir):
+    """J2/J3 in ONE pass: left join against the broadcast parent key set,
+    then a conditional aggregate — orphan_count and child_count come from
+    the same scan (no separate child.count() action)."""
     child = load(spark, sf_dir, "orders")
     parent = load(spark, sf_dir, "customer")
-    # left_anti against the (small, broadcast) parent key set — J2.
-    orphans = child.where(F.col("o_custkey").isNotNull()).join(
+    joined = child.join(
         F.broadcast(parent.select("c_custkey").dropDuplicates()),
         child.o_custkey == F.col("c_custkey"),
-        "left_anti",
+        "left",
     )
-    n_child = child.count()
-    return orphans.agg(
-        F.count(F.lit(1)).alias("orphan_count"),
-        F.lit(n_child).alias("child_count"),
-        F.round(F.count(F.lit(1)) / F.lit(float(n_child)), 4).alias("orphan_ratio"),
+    is_orphan = (
+        F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
+    ).cast("long")
+    return joined.agg(
+        F.sum(is_orphan).alias("orphan_count"),
+        F.count(F.lit(1)).alias("child_count"),
+        F.round(F.sum(is_orphan) / F.count(F.lit(1)), 4).alias("orphan_ratio"),
     )
 
 
@@ -661,6 +665,10 @@ SELECT (SELECT digits FROM m) AS modal_digits,
 """,
 )
 def q_accuracy_precision(spark, sf_dir):
+    """A7 mode in ONE pass: non_null is the SUM of the digit histogram —
+    no second table scan.  The modal row is a struct-max over the (tiny)
+    histogram: max (cnt, -digits) = highest count, ties to the smallest
+    digit count, matching the oracle's ORDER BY cnt DESC, digits ASC."""
     df = load(spark, sf_dir, "orders")
     d = (
         df.where(F.col("o_totalprice").isNotNull())
@@ -668,13 +676,19 @@ def q_accuracy_precision(spark, sf_dir):
         .groupBy("digits")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = df.where(F.col("o_totalprice").isNotNull()).count()
-    top = d.orderBy(F.desc("cnt"), F.asc("digits")).limit(1)
-    return top.select(
-        F.col("digits").alias("modal_digits"),
-        F.col("cnt").alias("modal_count"),
-        F.lit(total).alias("non_null"),
-        F.round(F.col("cnt") / F.lit(float(total)), 4).alias("proportion_at_modal"),
+    agg = d.agg(
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("digits")).alias("neg_digits"))
+        ).alias("m"),
+        F.sum("cnt").alias("non_null"),
+    )
+    return agg.select(
+        (-F.col("m.neg_digits")).alias("modal_digits"),
+        F.col("m.cnt").alias("modal_count"),
+        F.col("non_null"),
+        F.round(F.col("m.cnt") / F.col("non_null"), 4).alias(
+            "proportion_at_modal"
+        ),
     )
 
 

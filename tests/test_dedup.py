@@ -132,3 +132,52 @@ def test_exact_dup_summary_counts(spark, documents):
     assert row["n_docs"] == 2 * n
     assert row["n_unique_texts"] == uniq
     assert row["dup_docs"] == 2 * n - uniq
+
+
+def test_jaccard_max_df_drops_boilerplate_and_keeps_sizes_consistent(spark):
+    """A planted boilerplate shingle shared by EVERY doc must be capped out
+    of BOTH the intersection and the set sizes: the surviving pairs carry
+    the exact jaccard of the capped shingle space (a cap applied to the
+    numerator only would underestimate and miss threshold pairs)."""
+    from packs_spark.operators.dedup import char_shingles, jaccard_pairs
+
+    boiler = "COOKIE-BANNER"  # 13 chars -> 9 distinct 5-shingles
+    docs = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma delts"),  # near-dup of 1
+        (3, boiler + " something else entirely here"),
+        (4, boiler + " fourth unrelated document text"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # cap at 3: the boilerplate shingles (df=4) are dropped, the rest stay
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b, r.jaccard)
+        for r in jaccard_pairs(df, k=5, threshold=0.0, max_df=3).collect()
+    }
+
+    # python oracle over the capped shingle space
+    def shingles(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    capped = {i: {s for s in ss if dfreq[s] <= 3} for i, ss in sets.items()}
+    for (a, b), (inter, sa, sb, jac) in got.items():
+        ia = capped[a] & capped[b]
+        assert inter == len(ia)
+        assert sa == len(capped[a]) and sb == len(capped[b])
+        expected = round(len(ia) / len(capped[a] | capped[b]), 6)
+        assert abs(jac - expected) < 1e-9
+    # the near-dup pair must survive with a HIGH jaccard despite the cap
+    assert got[(1, 2)][3] > 0.5
+    # every capped-space pair with any overlap appears
+    expected_pairs = {
+        (a, b)
+        for a in capped
+        for b in capped
+        if a < b and capped[a] & capped[b]
+    }
+    assert set(got) == expected_pairs

@@ -60,3 +60,30 @@ def test_staleness_days(tmp_path):
     os.utime(p, (two_days_ago, two_days_ago))
     d = data_staleness_days(str(tmp_path))
     assert 1.9 < d < 2.1
+
+
+def test_export_rows_caps_and_roundtrips(spark, tmp_path):
+    from packs_spark.io.export import duplicate_rows, export_rows
+
+    df = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "excerpt.parquet")
+    export_rows(df, out, cap=10_000)
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.columns == ["k"]
+
+    out_csv = str(tmp_path / "excerpt_csv")
+    export_rows(df.limit(7), out_csv, cap=10_000, fmt="csv")
+    assert spark.read.option("header", "true").csv(out_csv).count() == 7
+
+
+def test_duplicate_rows_join(spark):
+    from packs_spark.io.export import duplicate_rows
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        ["k", "v"],
+    )
+    rows = duplicate_rows(df, ["k"]).collect()
+    assert len(rows) == 5  # k=1 twice + k=3 thrice; k=2 excluded
+    assert all(r.dup_count in (2, 3) for r in rows)
