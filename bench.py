@@ -262,6 +262,11 @@ stand in for executor counts; the pipeline has no driver-side bottleneck
 stage (models broadcast once, all stages partition-parallel, commit is
 O(buckets) renames), so thread-level scaling is the local-mode proxy for
 executor-level scaling.
+
+**Per-stage task-time breakdown** (falsifiability evidence: identical
+stage/task structure at both parallelisms, no low-task-count stage, the
+run-time-vs-cpu-time decomposition of the contention artifact):
+see BENCH/STAGES.md, regenerated by ``python tools/stage_breakdown.py``.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)

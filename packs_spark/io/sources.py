@@ -105,14 +105,15 @@ def read_excel(spark: SparkSession, path: str, skiprows: int = 0) -> DataFrame:
 
 
 def read_database(spark: SparkSession, conf: dict) -> DataFrame:
-    """JDBC scan; ``table_or_query`` follows the reference contract
-    (profiling_pack/main.py:140-145): a table name, a SQL string, a list
-    of tables (caller iterates), or ``*`` (use list_tables first)."""
+    """JDBC scan of ONE table or query.  For list / ``*`` valued
+    ``table_or_query`` use :func:`load_database_sources`, which resolves
+    to a dict of per-table DataFrames (the reference iterates datasets
+    the same way, profiling_pack/main.py:140-145)."""
     toq = conf.get("table_or_query", "*")
-    if isinstance(toq, list):
+    if isinstance(toq, list) or toq == "*":
         raise ValueError(
-            "list-valued table_or_query: resolve per-table with "
-            "read_database({**conf, 'table_or_query': name}) per entry"
+            "list/'*' table_or_query resolves to MULTIPLE datasets — "
+            "use load_database_sources(spark, conf)"
         )
     reader = (
         spark.read.format("jdbc")
@@ -124,6 +125,81 @@ def read_database(spark: SparkSession, conf: dict) -> DataFrame:
     if isinstance(toq, str) and toq.strip().lower().startswith("select"):
         return reader.option("query", toq).load()
     return reader.option("dbtable", toq).load()
+
+
+# information_schema is ANSI SQL and served by postgres/mysql/mssql;
+# pushed down as a JDBC subquery so only the name list crosses the wire.
+_LIST_TABLES_SQL = (
+    "SELECT table_name FROM information_schema.tables "
+    "WHERE table_type = 'BASE TABLE' "
+    "AND table_schema NOT IN ('pg_catalog', 'information_schema')"
+)
+
+
+def list_tables(spark: SparkSession, conf: dict) -> list[str]:
+    """All base-table names of a database source (the reference's ``*``
+    expansion, profiling_pack/main.py:140-145).  One tiny JDBC query —
+    the table list is driver metadata by nature."""
+    names = read_database(
+        spark, {**conf, "table_or_query": _LIST_TABLES_SQL}
+    ).collect()
+    return sorted(r[0] for r in names)
+
+
+def load_database_sources(
+    spark: SparkSession,
+    conf: dict,
+    _read=None,
+    _list=None,
+) -> dict[str, DataFrame]:
+    """Resolve the full reference ``table_or_query`` contract to
+    ``{dataset_name: DataFrame}``:
+
+    * a SQL string / table name → one entry;
+    * a list of names → one entry per name;
+    * ``*`` (or missing) → every table from :func:`list_tables`.
+
+    ``_read`` / ``_list`` are injectable for tests (no JDBC driver in the
+    sandbox); production callers leave them default.
+    """
+    read = _read or read_database
+    lister = _list or list_tables
+    toq = conf.get("table_or_query", "*")
+    if toq == "*":
+        toq = lister(spark, conf)
+    if isinstance(toq, list):
+        return {
+            name: read(spark, {**conf, "table_or_query": name}) for name in toq
+        }
+    name = toq if not toq.strip().lower().startswith("select") else "query"
+    return {name: read(spark, conf)}
+
+
+# Reference sampling policy constants (profiling_pack/main.py:26-28).
+MAX_ROWS_FOR_FULL_PROFILE = 1_000_000
+SAMPLE_SIZE_FOR_LARGE_DATASETS = 500_000
+
+
+def head_sample(
+    df: DataFrame,
+    max_rows: int = MAX_ROWS_FOR_FULL_PROFILE,
+    sample_to: int = SAMPLE_SIZE_FOR_LARGE_DATASETS,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, bool, int]:
+    """S5: the reference's deterministic head-sampling policy — datasets
+    over ``max_rows`` are processed on the first ``sample_to`` rows
+    (``head``, not random; profiling_pack/main.py:26-28,94-116).
+
+    Returns ``(df, sampled, n_rows)``.  ``limit`` plans as CollectLimit
+    (scan short-circuits at the cap).  Pass ``n_rows`` when the caller
+    already knows the count (parquet footers make ``df.count()`` cheap,
+    but not free).  Engine queries default to FULL exact passes; this
+    policy is opt-in parity with the reference's behavior.
+    """
+    n = n_rows if n_rows is not None else df.count()
+    if n > max_rows:
+        return df.limit(sample_to), True, n
+    return df, False, n
 
 
 def data_staleness_days(path: str, now: float | None = None) -> float:

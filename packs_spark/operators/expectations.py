@@ -31,6 +31,14 @@ that must satisfy the predicate; default 1.0).
 SodaCL checks are translated to the same internal form by
 ``parse_sodacl``: ``row_count > 0``, ``missing_count(col) = 0``,
 ``duplicate_count(col) < N``, ``min/max/avg/sum(col) <op> N``.
+
+**Extension point**: the reference dispatches ANY ``expect_*`` name via
+``getattr`` on a GX validator (great_expectations_pack/main.py:45-47);
+here each type is a branch in :func:`compile_expectation` producing a
+``_Compiled`` (aggregate expressions + a verdict closure).  Adding a GX
+type = adding one branch that emits its aggregate columns; it then rides
+the same single-pass ``df.agg``.  The ten types above are every type the
+reference's shipped configs exercise.
 """
 
 from __future__ import annotations

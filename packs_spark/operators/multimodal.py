@@ -106,22 +106,66 @@ def extract_metadata(
     return df.select(id_col, binary_col).mapInPandas(op, schema=schema)
 
 
-def frame_sample_stub(
-    df: DataFrame, binary_col: str = "payload", every_n: int = 30
-) -> DataFrame:  # pragma: no cover - plumbing stub
-    """Video frame-sampling plumbing: explode each payload into frame rows.
-    Decode itself is stubbed (deterministic frame count from byte length so
-    the explode/partitioning shape is testable without codecs)."""
-    schema = "frame_idx int, frame_bytes binary"
+def frame_sample(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "url",
+    every_n: int = 30,
+    max_frames: int = 10,
+) -> DataFrame:
+    """Video frame-sampling plumbing: explode each payload into
+    (id, frame_idx, frame_bytes) rows — the 1→N row shape a real
+    ffmpeg-backed sampler produces.  Decode is stubbed deterministically
+    (frame count from byte length, frame bytes = a slice) so the
+    explode/partitioning/schema shape is tested without codecs; wire a
+    real decoder at the marked line."""
+    schema = f"{id_col} string, frame_idx int, frame_bytes binary"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for p in pdf[binary_col]:
-                n_frames = (len(p) if p else 0) // 1000 // every_n
+            for rid, p in zip(pdf[id_col], pdf[binary_col]):
+                # REAL DECODER GOES HERE (ffmpeg: demux, take every_n-th
+                # frame); the stand-in derives frames from byte length
+                n_frames = (len(p) if p else 0) // every_n
                 rows.extend(
-                    (i, p[: 16]) for i in range(min(n_frames, 10))
+                    (rid, i, bytes(p[i : i + 16]))
+                    for i in range(min(n_frames, max_frames))
                 )
-            yield pd.DataFrame(rows, columns=["frame_idx", "frame_bytes"])
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "frame_bytes"]
+            )
 
-    return df.select(binary_col).mapInPandas(op, schema=schema)
+    return df.select(id_col, binary_col).mapInPandas(op, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "url",
+    target: tuple[int, int] = (64, 64),
+) -> DataFrame:
+    """Image-resize plumbing: (id, width, height, resized binary) per row —
+    the 1→1 map shape of a Pillow thumbnail pass.  The stand-in treats the
+    payload as raw bytes and 'resizes' by deterministic strided sampling to
+    exactly width×height bytes, preserving the real operator's contract:
+    fixed output size, binary in → binary out, one Arrow round-trip."""
+    w, h = target
+    schema = f"{id_col} string, width int, height int, resized binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, p in zip(pdf[id_col], pdf[binary_col]):
+                if not p:
+                    out.append((rid, w, h, b"\x00" * (w * h)))
+                    continue
+                # REAL DECODER GOES HERE (PIL.Image.open → .resize(target))
+                arr = np.frombuffer(p, dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, w * h).astype(np.int64)
+                out.append((rid, w, h, arr[idx].tobytes()))
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "resized"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(op, schema=schema)

@@ -486,6 +486,41 @@ def q_timeliness_year(spark, sf_dir):
     )
 
 
+@register(
+    "geo_bounds_customer",
+    oracle="""
+SELECT 'c_acctbal' AS "column",
+       count(c_acctbal) AS non_null,
+       CAST(coalesce(sum(CASE WHEN c_acctbal BETWEEN -90 AND 90 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS in_lat_range,
+       CAST(coalesce(sum(CASE WHEN c_acctbal BETWEEN -180 AND 180 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS in_lon_range,
+       round(coalesce(sum(CASE WHEN c_acctbal BETWEEN -90 AND 90 THEN 1 ELSE 0 END), 0) * 1.0
+             / count(c_acctbal), 4) AS lat_valid_ratio,
+       round(coalesce(sum(CASE WHEN c_acctbal BETWEEN -180 AND 180 THEN 1 ELSE 0 END), 0) * 1.0
+             / count(c_acctbal), 4) AS lon_valid_ratio
+FROM customer
+""",
+)
+def q_geo_bounds(spark, sf_dir):
+    """F14 lat/lon bound predicates as an aggregate profile
+    (accuracy_pack/main.py:92-129 checks geolocation columns the same
+    way; applied to a numeric column to exercise the bound logic — a
+    real deployment points it at detected geo columns)."""
+    df = load(spark, sf_dir, "customer")
+    c = F.col("c_acctbal")
+    lat = TX.count_if(F.when(c.isNotNull(), NUM.is_valid_latitude(c)))
+    lon = TX.count_if(F.when(c.isNotNull(), NUM.is_valid_longitude(c)))
+    return df.agg(
+        F.lit("c_acctbal").alias("column"),
+        F.count(c).alias("non_null"),
+        lat.alias("in_lat_range"),
+        lon.alias("in_lon_range"),
+        F.round(lat / F.count(c), 4).alias("lat_valid_ratio"),
+        F.round(lon / F.count(c), 4).alias("lon_valid_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fhir_compliance pack — boolean-like lexical test (fhir_compliance_pack/main.py:7-8)
 # ---------------------------------------------------------------------------

@@ -87,3 +87,79 @@ def test_duplicate_rows_join(spark):
     rows = duplicate_rows(df, ["k"]).collect()
     assert len(rows) == 5  # k=1 twice + k=3 thrice; k=2 excluded
     assert all(r.dup_count in (2, 3) for r in rows)
+
+
+def test_load_database_sources_resolution(spark):
+    """The reference table_or_query contract: str -> one dataset,
+    list -> one per name, '*' -> expand via list_tables (fakes injected —
+    no JDBC driver in the sandbox; the JDBC reader itself is exercised
+    against a real database in deployment)."""
+    from packs_spark.io.sources import load_database_sources
+
+    calls = []
+
+    def fake_read(spark_, conf):
+        calls.append(conf["table_or_query"])
+        return spark_.range(1)
+
+    def fake_list(spark_, conf):
+        return ["t1", "t2"]
+
+    base = {"url": "jdbc:fake", "table_or_query": "*"}
+    out = load_database_sources(spark, base, _read=fake_read, _list=fake_list)
+    assert set(out) == {"t1", "t2"} and calls == ["t1", "t2"]
+
+    calls.clear()
+    out = load_database_sources(
+        spark, {**base, "table_or_query": ["a", "b"]}, _read=fake_read
+    )
+    assert set(out) == {"a", "b"}
+
+    out = load_database_sources(
+        spark, {**base, "table_or_query": "SELECT 1 AS x"}, _read=fake_read
+    )
+    assert set(out) == {"query"}
+
+    out = load_database_sources(
+        spark, {**base, "table_or_query": "mytable"}, _read=fake_read
+    )
+    assert set(out) == {"mytable"}
+
+
+def test_head_sample_policy(spark):
+    from packs_spark.io.sources import head_sample
+
+    small = spark.range(100)
+    df, sampled, n = head_sample(small, max_rows=1000, sample_to=10)
+    assert not sampled and n == 100 and df.count() == 100
+
+    big = spark.range(2000)
+    df, sampled, n = head_sample(big, max_rows=1000, sample_to=10)
+    assert sampled and n == 2000 and df.count() == 10
+
+    # caller-provided count skips the counting pass
+    df, sampled, n = head_sample(big, max_rows=1000, sample_to=10, n_rows=2000)
+    assert sampled and df.count() == 10
+
+
+def test_profile_report_html_and_json(spark, tmp_path):
+    import json
+
+    from packs_spark.io.report import profile_report
+
+    s1 = spark.createDataFrame(
+        [("c1", 10, 0.5), ("c2", 8, None)], ["column", "non_null", "score"]
+    )
+    s2 = spark.createDataFrame([(123,)], ["n_rows"])
+    hp = str(tmp_path / "report.html")
+    jp = str(tmp_path / "report.json")
+    profile_report({"columns": s1, "table <stats>": s2}, hp, jp, title="t&d")
+
+    doc = open(hp).read()
+    assert "<td>c1</td>" in doc and "<td>123</td>" in doc
+    assert "t&amp;d" in doc and "table &lt;stats&gt;" in doc  # escaped
+    assert "<td></td>" in doc  # None renders empty
+
+    blob = json.load(open(jp))
+    assert blob["columns"][0]["column"] == "c1"
+    assert blob["table <stats>"][0]["n_rows"] == 123

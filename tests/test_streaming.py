@@ -154,3 +154,38 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_path
     want_keys = key(closed, "start_us", "end_us", "n_events")
     assert len(want_keys) > 0
     assert got_keys == want_keys
+
+
+def test_multimodal_frame_sample_shape(spark):
+    """1->N explode shape of a video frame sampler: id rides along, frame
+    indices dense from 0, payload-derived frame bytes, typed schema."""
+    from packs_spark.operators.multimodal import frame_sample
+
+    rows = [
+        ("u1", bytes(range(256)) * 2),  # 512 bytes -> 17 frames, capped 10
+        ("u2", b"xy"),                  # too short -> 0 frames
+        ("u3", None),                   # null payload -> 0 frames
+        ("u4", bytes(100)),             # 100 // 30 = 3 frames
+    ]
+    df = spark.createDataFrame(rows, ["url", "payload"])
+    out = frame_sample(df, "payload", "url", every_n=30, max_frames=10)
+    got = out.groupBy("url").count().collect()
+    counts = {r.url: r["count"] for r in got}
+    assert counts == {"u1": 10, "u4": 3}
+    one = out.where("url = 'u4' and frame_idx = 1").first()
+    assert one.frame_bytes == bytes(100)[1:17]
+    assert dict(out.dtypes)["frame_bytes"] == "binary"
+
+
+def test_multimodal_resize_fixed_output(spark):
+    """1->1 map shape of an image resizer: fixed 64*64-byte output for any
+    input size, nulls padded, one row per input."""
+    from packs_spark.operators.multimodal import resize_images
+
+    rows = [("a", bytes(range(256)) * 40), ("b", b"abc"), ("c", None)]
+    df = spark.createDataFrame(rows, ["url", "payload"])
+    out = resize_images(df, "payload", "url", target=(64, 64)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.width, r.height) == (64, 64)
+        assert len(r.resized) == 64 * 64
