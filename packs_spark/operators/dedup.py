@@ -395,3 +395,120 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dups_lsh(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 6,
+) -> DataFrame:
+    """The 100-TB tier of :func:`embedding_near_dups`: multi-table
+    random-hyperplane bucketing → candidate equi-join on (table, bucket) →
+    exact cosine verification on candidates only.
+
+    A pair at cosine θ collides in one table with prob
+    ``(1 - arccos(θ)/π)^n_planes``; across ``n_tables`` independent
+    families the miss probability decays exponentially (recall asserted vs
+    the brute-force tier in tests/test_dedup.py).  No all-pairs step: the
+    join is keyed on bucket ids (shuffle-friendly), candidate pairs are
+    deduped BEFORE vectors are re-attached, so wide embedding arrays cross
+    the shuffle once per candidate pair, not once per table."""
+    from packs_spark.operators.similarity import bucket_keys, cosine
+
+    ids = emb_df.select(id_col, vec_col)
+    keys = bucket_keys(ids, vec_col, dim, n_planes, n_tables).select(
+        F.col(id_col).alias("id"), "tbl", "bucket"
+    )
+    l = keys.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    r = keys.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        l.join(r, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair list)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster labels for a near-dup pair list: every node gets the MIN id
+    reachable from it.  Returns (node, label).
+
+    Hash-min label propagation — the simple member of the MapReduce
+    connected-components family: each round every node takes the min of
+    its own label and its neighbors' labels (one equi-join + groupBy-min
+    per round), converging in O(cluster diameter) rounds.  Near-dup
+    clusters are dense and tiny in diameter (a dup cluster is almost a
+    clique), so this beats the O(log n)-round large-star/small-star
+    alternatives on constants.  ``localCheckpoint`` cuts lineage each
+    round so the plan does not grow with iterations."""
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        new = (
+            nbr.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def cluster_summary(labels: DataFrame) -> DataFrame:
+    """(n_nodes, n_clusters, max_cluster_size) from a CC labeling — the
+    dedup decision input (keep one representative per cluster)."""
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("sz").alias("max_cluster_size"),
+    )

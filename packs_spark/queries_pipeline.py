@@ -75,6 +75,37 @@ def q_dedup_exact(spark, sf_dir):
 _JACCARD_T = 0.05
 
 
+def _word3_jaccard_frame(spark, sf_dir):
+    """(id_a, id_b, j) for every shingle-sharing document pair — the word
+    3-gram exact-jaccard plan shared by the pair summary and the
+    connected-components clustering query."""
+    from packs_spark.operators.dedup import word_shingles
+
+    df = load(spark, sf_dir, "documents")
+    sh = (
+        df.where(F.trim(F.col("text")) != "")
+        .select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), 3).alias("sh"),
+        )
+        .where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
+        .withColumn("sz", F.size("sh"))
+    )
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.round(
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+    )
+    return pairs.select("id_a", "id_b", j.alias("j"))
+
+
 @register(
     "dedup_jaccard_documents",
     oracle=f"""
@@ -105,31 +136,7 @@ FROM jac
 """,
 )
 def q_dedup_jaccard(spark, sf_dir):
-    from packs_spark.operators.dedup import word_shingles
-
-    df = load(spark, sf_dir, "documents")
-    sh = (
-        df.where(F.trim(F.col("text")) != "")
-        .select(
-            F.col("doc_id").alias("id"),
-            word_shingles(F.col("text"), 3).alias("sh"),
-        )
-        .where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
-        .withColumn("sz", F.size("sh"))
-    )
-    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "s")
-    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "s")
-    pairs = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = F.round(
-        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
-    )
-    jac = pairs.select(j.alias("j"))
+    jac = _word3_jaccard_frame(spark, sf_dir).select("j")
     return jac.agg(
         F.sum((F.col("j") >= _JACCARD_T).cast("long")).alias("n_pairs"),
         F.coalesce(F.round(F.max("j"), 6), F.lit(0.0)).alias("max_jaccard"),
@@ -138,6 +145,62 @@ def q_dedup_jaccard(spark, sf_dir):
             F.lit(0.0),
         ).alias("avg_jaccard"),
     )
+
+
+@register(
+    "dedup_clusters_documents",
+    oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        FOR i IN range(1, len(ws) - 1)]) AS sh
+  FROM w WHERE len(ws) >= 3
+),
+e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM g),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+         count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pr AS (
+  SELECT id_a, id_b FROM p
+  WHERE round(inter * 1.0 / (size_a + size_b - inter), 6) >= {_JACCARD_T}
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       UNION SELECT id_b, id_a FROM pr),
+reach AS (
+  SELECT src AS node, dst AS r FROM ed
+  UNION
+  SELECT reach.node, e2.dst FROM reach JOIN ed e2 ON reach.r = e2.src
+),
+lab AS (
+  SELECT node, least(node, min(r)) AS label FROM reach GROUP BY node
+),
+sizes AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+       count(*) AS n_clusters,
+       CAST(max(sz) AS BIGINT) AS max_cluster_size
+FROM sizes
+""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (not just pairs): hash-min connected components
+    over the exact-jaccard pair list — the labeling a dedup pipeline uses
+    to keep one representative per cluster.  The oracle recomputes the
+    same labels with a recursive transitive-closure CTE (tractable at
+    oracle scale; the Spark side is the O(diameter)-round distributed
+    algorithm)."""
+    from packs_spark.operators.dedup import cluster_summary, connected_components
+
+    pairs = _word3_jaccard_frame(spark, sf_dir).where(
+        F.col("j") >= _JACCARD_T
+    )
+    return cluster_summary(connected_components(pairs))
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +311,25 @@ def q_dedup_embedding(spark, sf_dir):
     return pairs.agg(
         F.sum((F.col("cosine") >= 0.3).cast("long")).alias("n_pairs_ge_03"),
         F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
+@register("dedup_embedding_lsh_documents")
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale tier of embedding near-dup: hyperplane-bucketed candidates +
+    exact cosine verification (no all-pairs step).  No SQL oracle (the
+    bucket ids come from the deterministic plane family); gated by
+    tests/test_dedup.py recall-vs-brute-force assertions."""
+    from packs_spark.operators.dedup import embedding_near_dups_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, dim=64,
+        n_planes=10, n_tables=8,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_found"),
+        F.coalesce(F.round(F.max("cosine"), 6), F.lit(0.0)).alias("max_cosine"),
     )
 
 

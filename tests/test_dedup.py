@@ -181,3 +181,70 @@ def test_jaccard_max_df_drops_boilerplate_and_keeps_sizes_consistent(spark):
         if a < b and capped[a] & capped[b]
     }
     assert set(got) == expected_pairs
+
+
+def test_connected_components_labels(spark):
+    """Chain (1-2-3), clique (10,11,12), isolated pair (20,21): every node
+    must get the min id of its component."""
+    from packs_spark.operators.dedup import cluster_summary, connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    s = cluster_summary(connected_components(pairs)).first()
+    assert (s.n_nodes, s.n_clusters, s.max_cluster_size) == (8, 3, 3)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs ~diameter rounds — checks the iteration loop
+    actually propagates beyond one hop."""
+    from packs_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"]
+    )
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert set(labels.values()) == {100} and len(labels) == 13
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark):
+    """Planted near-dups (tiny noise around base vectors) must be found by
+    the LSH tier with high recall; every reported pair must be a true pair
+    (exact cosine verification makes precision 1.0 by construction)."""
+    import numpy as np
+
+    from packs_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_base = 16, 40
+    base = rng.normal(size=(n_base, dim))
+    rows = []
+    vid = 0
+    for i in range(n_base):
+        for _ in range(2):  # two noisy copies of each base -> 40 true pairs
+            v = base[i] + rng.normal(scale=0.02, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(df, "vec_id", "embedding", 0.95).collect()
+    }
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups_lsh(
+            df, "vec_id", "embedding", 0.95, dim=dim, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert true_pairs, "fixture must plant near-dup pairs"
+    assert got_pairs <= true_pairs  # exact verification => no false positives
+    recall = len(got_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"recall {recall:.2f}"
