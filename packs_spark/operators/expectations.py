@@ -24,7 +24,11 @@ by ``getattr``):
           expect_column_values_to_be_unique,
           expect_column_mean_to_be_between,
           expect_column_min_to_be_between,
-          expect_column_max_to_be_between
+          expect_column_max_to_be_between,
+          expect_column_sum_to_be_between,
+          expect_column_stdev_to_be_between,
+          expect_column_value_lengths_to_be_between,
+          expect_column_values_to_be_of_type (schema-level, no data pass)
 Row-level expectations honour GX's ``mostly`` (fraction of non-null rows
 that must satisfy the predicate; default 1.0).
 
@@ -168,8 +172,16 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
         "expect_column_mean_to_be_between",
         "expect_column_min_to_be_between",
         "expect_column_max_to_be_between",
+        "expect_column_sum_to_be_between",
+        "expect_column_stdev_to_be_between",
     ):
-        fn = {"mean": F.avg, "min": F.min, "max": F.max}[etype.split("_")[2]]
+        fn = {
+            "mean": F.avg,
+            "min": F.min,
+            "max": F.max,
+            "sum": F.sum,
+            "stdev": F.stddev_samp,  # GX stdev = sample stddev
+        }[etype.split("_")[2]]
         lo, hi = kw.get("min_value"), kw.get("max_value")
         out = _Compiled(
             etype,
@@ -177,6 +189,35 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
             [fn(c).alias(f"c{idx}_v")],
             lambda v, lo=lo, hi=hi: _between(v[0], lo, hi),
         )
+    elif etype == "expect_column_value_lengths_to_be_between":
+        lo, hi = kw.get("min_value"), kw.get("max_value")
+        ln = F.length(c.cast("string"))
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (ln >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (ln <= F.lit(hi))
+        out = _mostly_pred(pred, c, idx, mostly)
+    elif etype == "expect_column_values_to_be_of_type":
+        # schema-level: no data pass (GX type_ names map onto Spark's)
+        want = str(kw.get("type_", "")).lower()
+        have = dict(df.dtypes).get(col_name, "")
+        aliases = {
+            "int": {"int", "bigint", "smallint", "tinyint"},
+            "int64": {"bigint"},
+            "integertype": {"int"},
+            "longtype": {"bigint"},
+            "float": {"float", "double"},
+            "float64": {"double"},
+            "doubletype": {"double"},
+            "str": {"string"},
+            "stringtype": {"string"},
+            "object": {"string"},
+            "bool": {"boolean"},
+            "booleantype": {"boolean"},
+        }
+        ok = have == want or have in aliases.get(want, set())
+        out = _Compiled(etype, col_name, [], lambda v, s=ok: s)
     else:
         # reference behavior: silently skip unknown expectations
         # (great_expectations_pack/main.py:45-46 `if not hasattr: continue`)

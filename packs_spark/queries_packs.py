@@ -1113,6 +1113,16 @@ _GX_SUITE = [
                 "max_value": 1000, "mostly": 0.9}},
     {"expectation_type": "expect_column_min_to_be_between",
      "kwargs": {"column": "o_orderkey", "min_value": 0, "max_value": 10}},
+    {"expectation_type": "expect_column_sum_to_be_between",
+     "kwargs": {"column": "o_totalprice", "min_value": 1}},
+    {"expectation_type": "expect_column_stdev_to_be_between",
+     "kwargs": {"column": "o_totalprice", "min_value": 1,
+                "max_value": 10000000}},
+    {"expectation_type": "expect_column_value_lengths_to_be_between",
+     "kwargs": {"column": "o_orderpriority", "min_value": 3,
+                "max_value": 20}},
+    {"expectation_type": "expect_column_values_to_be_of_type",
+     "kwargs": {"column": "o_orderkey", "type_": "int64"}},
 ]
 
 
@@ -1158,6 +1168,20 @@ WITH r AS (
   UNION ALL
   SELECT 9, 'expect_column_min_to_be_between', 'o_orderkey',
          (SELECT min(o_orderkey) BETWEEN 0 AND 10 FROM orders)
+  UNION ALL
+  SELECT 10, 'expect_column_sum_to_be_between', 'o_totalprice',
+         (SELECT sum(o_totalprice) >= 1 FROM orders)
+  UNION ALL
+  SELECT 11, 'expect_column_stdev_to_be_between', 'o_totalprice',
+         (SELECT stddev_samp(o_totalprice) BETWEEN 1 AND 10000000 FROM orders)
+  UNION ALL
+  SELECT 12, 'expect_column_value_lengths_to_be_between', 'o_orderpriority',
+         (SELECT sum(CASE WHEN length(CAST(o_orderpriority AS VARCHAR))
+                          BETWEEN 3 AND 20 THEN 1 ELSE 0 END)
+                 = count(o_orderpriority) FROM orders)
+  UNION ALL
+  SELECT 13, 'expect_column_values_to_be_of_type', 'o_orderkey',
+         TRUE  -- schema-level: o_orderkey IS int64/bigint in the parquet
 )
 SELECT idx, expectation, "column", success,
        round((SELECT sum(CASE WHEN success THEN 1 ELSE 0 END) * 1.0

@@ -98,3 +98,30 @@ def test_suite_score_df(spark):
     ).collect()
     assert len(out) == 2
     assert all(r.suite_score == 0.5 for r in out)
+
+
+def test_gx_new_types(spark):
+    df = _df(spark)
+    res = evaluate_suite(
+        df,
+        [
+            {"expectation_type": "expect_column_sum_to_be_between",
+             "kwargs": {"column": "val", "min_value": 100, "max_value": 200}},
+            {"expectation_type": "expect_column_sum_to_be_between",
+             "kwargs": {"column": "val", "min_value": 1000}},
+            {"expectation_type": "expect_column_stdev_to_be_between",
+             "kwargs": {"column": "val", "min_value": 1, "max_value": 100}},
+            {"expectation_type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "cat", "min_value": 1, "max_value": 1}},
+            {"expectation_type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "cat", "min_value": 2, "max_value": 5}},
+            {"expectation_type": "expect_column_values_to_be_of_type",
+             "kwargs": {"column": "id", "type_": "int64"}},
+            {"expectation_type": "expect_column_values_to_be_of_type",
+             "kwargs": {"column": "id", "type_": "str"}},
+        ],
+    )
+    ok = [r["success"] for r in res]
+    # sum(val)=120 in [100,200]; not >=1000; stdev ~17.8 in [1,100];
+    # all cat lengths are 1; none in [2,5]; id is int64 not str
+    assert ok == [True, False, True, True, False, True, False]

