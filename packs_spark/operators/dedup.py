@@ -503,6 +503,24 @@ def connected_components(
     return labels
 
 
+def dedup_decisions(
+    df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Append the dedup ``keep`` decision: a document survives iff it is in
+    no near-dup cluster (no label row) or is its cluster's representative
+    (the min id — CC labels ARE min reachable ids).  One left join against
+    the label table; labels exist only for docs appearing in ≥1 pair, so
+    the build side is the (usually much smaller) near-dup subset — AQE
+    broadcasts it when it fits, falls back to a keyed shuffle join when a
+    100-TB corpus has billions of near-dups (no unconditional broadcast
+    hint here on purpose)."""
+    lab = labels.withColumnRenamed("node", id_col)
+    return df.join(lab, id_col, "left").withColumn(
+        "keep",
+        F.col("label").isNull() | (F.col("label") == F.col(id_col)),
+    )
+
+
 def cluster_summary(labels: DataFrame) -> DataFrame:
     """(n_nodes, n_clusters, max_cluster_size) from a CC labeling — the
     dedup decision input (keep one representative per cluster)."""

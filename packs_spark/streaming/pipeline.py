@@ -165,3 +165,47 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("url",),
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+    schema=None,
+    available_now: bool = True,
+):
+    """Streaming exact dedup: keep the first occurrence of each text hash
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` — the
+    state store evicts hashes older than the watermark, so state is
+    bounded by the horizon's unique-hash count, not the stream's).
+
+    The dedup key is md5(text) — 16 bytes of state per retained doc, the
+    same key the batch tier groups on (operators/dedup.py exact tier), so
+    batch backfill and streaming ingest agree on what is a duplicate.
+    """
+    if schema is None:
+        schema = (
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        )
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = (
+        src.withColumn("__h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -248,3 +248,17 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
     assert got_pairs <= true_pairs  # exact verification => no false positives
     recall = len(got_pairs) / len(true_pairs)
     assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_dedup_decisions_keep_one_per_cluster(spark):
+    from packs_spark.operators.dedup import connected_components, dedup_decisions
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], ["id_a", "id_b"])
+    labels = connected_components(pairs)
+    out = {r.doc_id: r.keep for r in dedup_decisions(docs, labels).collect()}
+    # cluster {1,2,5} keeps 1; cluster {6,7} keeps 6; 0,3,4 untouched
+    assert out == {0: True, 1: True, 2: False, 3: True, 4: True,
+                   5: False, 6: True, 7: False}

@@ -189,3 +189,40 @@ def test_multimodal_resize_fixed_output(spark):
     for r in out:
         assert (r.width, r.height) == (64, 64)
         assert len(r.resized) == 64 * 64
+
+
+def test_stream_dedup_exact_keeps_one_per_text(spark, tmp_path):
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: duplicate
+    texts within the horizon collapse to one row; distinct texts all
+    survive."""
+    import datetime
+
+    import pandas as pd
+
+    from packs_spark.streaming.pipeline import stream_dedup_exact
+
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        text = f"unique document number {i % 10}"  # 10 distinct texts
+        rows.append(
+            {
+                "url": f"https://h{i}.example.com/",
+                "warc_ts": t0 + datetime.timedelta(minutes=i),
+                "html": b"<html>",
+                "text": text,
+                "lang": "en",
+            }
+        )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = stream_dedup_exact(spark, src, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    texts = [r.text for r in got.collect()]
+    assert sorted(set(texts)) == sorted(
+        f"unique document number {i}" for i in range(10)
+    )
+    assert len(texts) == 10  # exactly one survivor per text hash
