@@ -55,22 +55,27 @@ def ks_2sample(
     # (saves ~3 Spark jobs).  The distributed bucketed path below is the
     # scale path for genuinely high-cardinality columns.
     small_cap = 100_000
-    head = g.limit(small_cap + 1).collect()
-    if len(head) <= small_cap:
-        rows = sorted(head, key=lambda r: r["x"])
-        n_a = sum(r["ca"] for r in rows)
-        n_b = sum(r["cb"] for r in rows)
-        if n_a == 0 or n_b == 0:
-            return 0.0, n_a, n_b
-        cum_a = cum_b = 0
-        d = 0.0
-        for r in rows:
-            cum_a += r["ca"]
-            cum_b += r["cb"]
-            d = max(d, abs(cum_a / n_a - cum_b / n_b))
-        return float(d), n_a, n_b
+    # persist BEFORE the cardinality probe, and probe with count():
+    # count materializes every partition exactly once (fully filling the
+    # cache — a limit().collect() probe would transfer 100k rows to the
+    # driver AND leave the cache partial), so every downstream action
+    # (quantiles, totals, window) reuses the grouped frame instead of
+    # re-running the union+groupBy shuffle — one pass over the base data.
     g = g.persist()
     try:
+        if g.count() <= small_cap:
+            rows = sorted(g.collect(), key=lambda r: r["x"])
+            n_a = sum(r["ca"] for r in rows)
+            n_b = sum(r["cb"] for r in rows)
+            if n_a == 0 or n_b == 0:
+                return 0.0, n_a, n_b
+            cum_a = cum_b = 0
+            d = 0.0
+            for r in rows:
+                cum_a += r["ca"]
+                cum_b += r["cb"]
+                d = max(d, abs(cum_a / n_a - cum_b / n_b))
+            return float(d), n_a, n_b
         # Bucket boundaries from the grouped keys (small frame).
         probs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = g.approxQuantile("x", probs, 0.001)
