@@ -85,10 +85,34 @@ def distinct_word_ratio(c: Column) -> Column:
     return F.when(n == 0, F.lit(1.0)).otherwise(F.size(F.array_distinct(w)) / n)
 
 
+def repeated_bigram_ratio(c: Column) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram —
+    the Gopher-style n-gram repetition signal (the 1-gram variant is
+    ``distinct_word_ratio``).  0.0 for docs with < 2 words (they fail on
+    length, not repetition).  Pure codegen: transform over the token
+    array builds the bigram array, array_distinct counts uniques."""
+    w = words(F.lower(c))
+    n = F.size(w) - 1
+    bg = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        )
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(bg)) / n
+    )
+
+
 def keep_mask(c: Column, **thresholds) -> Column:
-    """Conjunction of all heuristic rules — True = keep."""
+    """Conjunction of all heuristic rules — True = keep.
+
+    ``max_repeated_bigram_ratio`` is OPT-IN (None = off, the default):
+    enabling it must be a deliberate re-labeling, because keep/drop parity
+    with the recorded reference labels (F1 gate) is defined over the
+    default rule set."""
     t = {**DEFAULTS, **thresholds}
-    return (
+    mask = (
         c.isNotNull()
         & (n_chars(c) >= t["min_chars"])
         & (n_chars(c) <= t["max_chars"])
@@ -97,6 +121,11 @@ def keep_mask(c: Column, **thresholds) -> Column:
         & (stopword_ratio(c) >= t["min_stopword_ratio"])
         & (distinct_word_ratio(c) >= t["min_distinct_ratio"])
     )
+    if t.get("max_repeated_bigram_ratio") is not None:
+        mask = mask & (
+            repeated_bigram_ratio(c) <= t["max_repeated_bigram_ratio"]
+        )
+    return mask
 
 
 # ---------------------------------------------------------------------------
@@ -140,14 +169,33 @@ def sql_distinct_word_ratio(col: str) -> str:
     )
 
 
+def sql_repeated_bigram_ratio(col: str) -> str:
+    w = sql_words(f"lower({col})")
+    n = f"({sql_n_words(col)} - 1)"
+    bg = (
+        f"[list_extract({w}, i) || ' ' || list_extract({w}, i + 1) "
+        f"FOR i IN range(1, {sql_n_words(col)})]"
+    )
+    return (
+        f"CASE WHEN {n} <= 0 THEN 0.0 ELSE "
+        f"1.0 - length(list_distinct({bg})) * 1.0 / {n} END"
+    )
+
+
 def sql_keep_mask(col: str, **thresholds) -> str:
     t = {**DEFAULTS, **thresholds}
-    return (
+    out = (
         f"({col} IS NOT NULL"
         f" AND length({col}) >= {t['min_chars']}"
         f" AND length({col}) <= {t['max_chars']}"
         f" AND {sql_n_words(col)} >= {t['min_words']}"
         f" AND {sql_symbol_ratio(col)} <= {t['max_symbol_ratio']}"
         f" AND {sql_stopword_ratio(col)} >= {t['min_stopword_ratio']}"
-        f" AND {sql_distinct_word_ratio(col)} >= {t['min_distinct_ratio']})"
+        f" AND {sql_distinct_word_ratio(col)} >= {t['min_distinct_ratio']}"
     )
+    if t.get("max_repeated_bigram_ratio") is not None:
+        out += (
+            f" AND {sql_repeated_bigram_ratio(col)}"
+            f" <= {t['max_repeated_bigram_ratio']}"
+        )
+    return out + ")"

@@ -46,6 +46,31 @@ def q_webtext_filter(spark, sf_dir):
     return flagship_summary(spark, sf_dir)
 
 
+@register(
+    "repetition_profile_documents",
+    oracle=f"""
+SELECT count(*) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN {rules.sql_repeated_bigram_ratio('text')} > 0.2
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_repetitive,
+       round(max({rules.sql_repeated_bigram_ratio('text')}), 6) AS max_repeated_ratio
+FROM documents
+""",
+)
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repeated-bigram repetition profile (the n-gram member
+    of the repetition rule family; the 1-gram member is
+    distinct_word_ratio inside the keep mask).  Aggregates are
+    reduction-order independent by construction: integer counts over a
+    per-row double threshold plus an exact max."""
+    df = load(spark, sf_dir, "documents")
+    r = rules.repeated_bigram_ratio(F.col("text"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((r > 0.2).cast("long")).alias("n_repetitive"),
+        F.round(F.max(r), 6).alias("max_repeated_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: exact
 # ---------------------------------------------------------------------------

@@ -170,3 +170,51 @@ def test_salted_host_metrics_equals_plain_groupby(spark, pages_pd):
         ).collect()
     }
     assert salted == plain and len(salted) > 1
+
+
+def test_repeated_bigram_ratio_and_optin_rule(spark):
+    from packs_spark.pipeline import rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the old barn where it sleeps all day long in peace")
+    # passes every DEFAULT rule (10 distinct words / 30 = 0.33 > 0.25
+    # distinct-1-gram floor, stopwords present, length fine) but is 2/3
+    # repeated bigrams — exactly the page the n-gram signal exists for
+    spam = " ".join(["the best deal in town for you and family now"] * 3)
+    df = spark.createDataFrame([(good,), (spam,)], ["text"])
+
+    r = {
+        t: ratio
+        for t, ratio in df.select(
+            "text", rules.repeated_bigram_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+
+    def py_ratio(t):
+        w = t.lower().split()
+        bg = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return 1.0 - len(set(bg)) / len(bg) if bg else 0.0
+
+    assert abs(r[good] - py_ratio(good)) < 1e-9
+    assert abs(r[spam] - py_ratio(spam)) < 1e-9
+    assert r[spam] > 0.5 > r[good]
+
+    # default mask ignores repetition-bigram (F1 parity with recorded
+    # labels); the opt-in threshold drops the spam doc
+    base = {
+        t: k
+        for t, k in df.select(
+            "text", rules.keep_mask(F.col("text")).alias("k")
+        ).collect()
+    }
+    strict = {
+        t: k
+        for t, k in df.select(
+            "text",
+            rules.keep_mask(
+                F.col("text"), max_repeated_bigram_ratio=0.2
+            ).alias("k"),
+        ).collect()
+    }
+    assert base[spam] and not strict[spam]
+    assert base[good] and strict[good]
