@@ -181,6 +181,110 @@ def topk_lsh(
 
 
 # ---------------------------------------------------------------------------
+# persisted IVF index (build once / query many)
+# ---------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """On-disk IVF index: centroids + the corpus physically PARTITIONED BY
+    CELL.  Build pays the one corpus shuffle; every later search reads
+    only the probed cells' directories (static partition pruning — the
+    scan's PartitionFilters show `cell IN (...)`), which is the actual
+    at-scale payoff of an inverted file: the index layout IS the table
+    layout, and Spark's ordinary partition pruning is the probe.
+
+    Layout:  <path>/centroids.parquet   (cell, centroid array<double>)
+             <path>/cells/cell=<i>/...  (neighbor_id, cv)
+    """
+
+    def __init__(self, path: str, centroids):
+        self.path = path
+        self.centroids = centroids
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        sample: int = 2000,
+    ) -> "IvfIndex":
+        spark = corpus.sparkSession
+        cents = train_centroids(corpus, vec_col, id_col, n_cells, sample)
+        assigned = assign_cells(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            cents,
+            "cv",
+            nprobe=1,
+        ).select("neighbor_id", "cv", F.element_at("cell", 1).alias("cell"))
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        return cls(path, cents)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import numpy as np
+
+        rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+        cents = np.zeros((len(rows), len(rows[0]["centroid"])))
+        for r in rows:
+            cents[r["cell"]] = r["centroid"]
+        return cls(path, cents)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        query_id_col: str = "query_id",
+        vec_col: str = "embedding",
+        nprobe: int = 4,
+    ) -> DataFrame:
+        spark = queries.sparkSession
+        q = assign_cells(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            ),
+            self.centroids,
+            "qv",
+            nprobe=nprobe,
+        ).select("query_id", "qv", F.explode("cell").alias("cell"))
+        # the probed cell set is ≤ n_cells ids — collect it and prune the
+        # partitioned scan with a literal filter (directories never read)
+        probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+        corpus = spark.read.parquet(f"{self.path}/cells").where(
+            F.col("cell").isin(probed)
+        )
+        scored = (
+            q.join(corpus, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 

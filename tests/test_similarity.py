@@ -110,3 +110,39 @@ def test_ivf_nprobe_full_is_exact(spark, embeddings):
     bf_pairs = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in bf.collect()}
     ann_pairs = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ann.collect()}
     assert bf_pairs == ann_pairs
+
+
+def test_ivf_index_build_load_search_and_pruning(spark, tmp_path, embeddings):
+    """Persisted IVF: build once, load, search.  nprobe = n_cells must be
+    EXACT vs brute force; the probed scan must show partition pruning
+    (cell=... directories filtered, not scanned)."""
+    from packs_spark.operators.similarity import IvfIndex, topk_bruteforce
+
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(embeddings, path, n_cells=8, sample=500)
+    idx = IvfIndex.load(spark, path)
+
+    queries = embeddings.where("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = idx.search(queries, k=3, nprobe=8)  # nprobe == n_cells -> exact
+    exact = topk_bruteforce(embeddings, queries, k=3)
+    g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert g == e
+
+    # partial probe: the corpus scan is partition-pruned to nprobe cells
+    small = idx.search(queries, k=3, nprobe=2)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # sanity at nprobe=2 of 8: results exist and every score is a true
+    # cosine (the pruned scan can only lower recall, never corrupt scores)
+    small_rows = small.collect()
+    assert small_rows
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.collect()
+    }
+    for r in small_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine - exact_scores[key]) < 1e-9
