@@ -557,6 +557,76 @@ def q_boolean_like(spark, sf_dir):
     )
 
 
+_FHIR_PRESENT = {
+    "p_id": "o_orderkey",
+    "p_status": "o_orderstatus",
+    "p_prio": "o_orderpriority",
+    "p_date": "o_orderdate",
+    "p_amount": "o_totalprice",
+}
+_FHIR_PRESENT_SQL = ",\n         ".join(
+    f"({c} IS NOT NULL AND trim(CAST({c} AS VARCHAR)) <> '') AS {p}"
+    for p, c in _FHIR_PRESENT.items()
+)
+
+
+@register(
+    "fhir_compliance_orders",
+    oracle=f"""
+WITH m AS (
+  SELECT {_FHIR_PRESENT_SQL},
+         o_orderstatus, o_orderpriority, o_orderdate
+  FROM orders
+),
+v AS (
+  SELECT p_id
+         AND (NOT p_status OR o_orderstatus IN ('O', 'F', 'P'))
+         AND (NOT p_prio OR regexp_matches(o_orderpriority, '^[1-3]-'))
+         AND (NOT p_date OR try_strptime(CAST(o_orderdate AS VARCHAR),
+                                         '%Y-%m-%d %H:%M:%S') IS NOT NULL)
+           AS valid,
+         CAST(p_id AS INT) + CAST(p_status AS INT) + CAST(p_prio AS INT)
+         + CAST(p_date AS INT) + CAST(p_amount AS INT) AS pc
+  FROM m
+)
+SELECT count(*) AS total_records,
+       CAST(coalesce(sum(CASE WHEN valid THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS valid_records,
+       round(sum(CASE WHEN valid THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS validity_ratio,
+       round(sum(CASE WHEN valid THEN 1 ELSE 0 END) * 1.0 / count(*), 2)
+         AS score,
+       round(sum(pc) * 1.0 / (6 * count(*)), 4) AS completeness
+FROM v
+""",
+)
+def q_fhir_compliance(spark, sf_dir):
+    """Config-driven record compliance (the FHIR pack's evaluator): a
+    six-field mapping with one required field, an enum, an anchored
+    pattern (deliberately strict so a real mix of records fails), an
+    ISO-date field, and one field mapped to an ABSENT column (never
+    present, never invalidates — the reference maps it to None)."""
+    from packs_spark.operators.fhir import compliance_summary
+
+    df = load(spark, sf_dir, "orders")
+    return compliance_summary(
+        df,
+        field_mappings={
+            "id": "o_orderkey",
+            "status": "o_orderstatus",
+            "priority": "o_orderpriority",
+            "event_date": "o_orderdate",
+            "amount": "o_totalprice",
+            "flag": "o_activeflag",  # absent in the table on purpose
+        },
+        required_fields=["id"],
+        enums={"status": ["O", "F", "P"]},
+        patterns={"priority": "[1-3]-"},
+        date_fields=["event_date"],
+        boolean_fields=["flag"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # soda pack — column/value slugify (soda_pack/main.py:44-51)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,48 @@ def test_slugify_columns_renames_and_maps(spark):
     }
     # metadata-only: data unchanged
     assert renamed.collect() == [(1, "a", 2.0)]
+
+
+def test_fhir_compliance_semantics(spark):
+    """Reference semantics (fhir_compliance_pack/main.py:44-120): required
+    presence, enum, anchored pattern, ISO date, boolean-like — checks
+    apply only when the value is present; absent mapped columns never
+    invalidate; completeness is the mean present-fraction."""
+    from packs_spark.operators.fhir import compliance_summary
+
+    rows = [
+        # id, status, birth,        active  -> all valid, all present
+        ("p1", "male", "1990-01-05", "true"),
+        # missing required id -> invalid
+        (None, "male", "1990-01-05", "true"),
+        # enum violation
+        ("p3", "alien", "1990-01-05", "true"),
+        # bad ISO date
+        ("p4", "female", "05/01/1990", "true"),
+        # bad boolean
+        ("p5", "female", "1990-01-05", "maybe"),
+        # optional fields absent (empty strings) -> still valid, less complete
+        ("p6", "", "", ""),
+    ]
+    df = spark.createDataFrame(rows, ["pid", "gender", "birth", "active"])
+    out = compliance_summary(
+        df,
+        field_mappings={
+            "id": "pid",
+            "gender": "gender",
+            "birthDate": "birth",
+            "active": "active",
+            "ghost": "not_a_column",
+        },
+        required_fields=["id"],
+        enums={"gender": ["male", "female", "other", "unknown"]},
+        patterns={"id": "p\\d+"},
+        date_fields=["birthDate"],
+        boolean_fields=["active"],
+    ).first()
+    assert out.total_records == 6
+    assert out.valid_records == 2  # p1 and p6
+    assert out.validity_ratio == round(2 / 6, 4)
+    assert out.score == round(2 / 6, 2)
+    # present counts per row (of 5 mapped fields): 4,3,4,4,4,1
+    assert out.completeness == round((4 + 3 + 4 + 4 + 4 + 1) / (5 * 6), 4)
