@@ -1,0 +1,167 @@
+"""Pack-level API — the reference's invocation contract on Spark.
+
+A reference user runs a pack against a ``source_conf`` + ``pack_conf``
+and collects three artifact streams (metrics / recommendations /
+schemas — qalita_core.pack.Pack in every ``*_pack/main.py``).  This
+facade keeps that contract: ``run_pack(spark, name, source_conf,
+pack_conf)`` resolves the source through the engine's connectors, runs
+the operator-level implementation, and returns the three streams as
+DataFrames in the envelope shapes of :mod:`packs_spark.io.envelope`.
+
+Distributed by construction: the data pass is the operator's single-scan
+aggregate; only the per-column RESULT frame (rows = columns, not data)
+is reshaped into the long envelope form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from packs_spark.io.envelope import (
+    ENVELOPE_SCHEMA,
+    RECOMMENDATION_SCHEMA,
+    schema_stream,
+    text_validation_recommendations,
+)
+from packs_spark.io.sources import load_source
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _melt_per_column(
+    summary: DataFrame, column_col: str, dataset: str
+) -> DataFrame:
+    """Per-column wide result frame → long envelope rows: one
+    (key=metric, value=str, perimeter='column', scope=column,
+    parent_scope=dataset) row per metric per column.  Pure projection +
+    inline — no shuffle; the summary frame is one row per column."""
+    metric_cols = [c for c in summary.columns if c != column_col]
+    structs = [
+        F.struct(
+            F.lit(m).alias("key"),
+            F.col(m).cast("string").alias("value"),
+            F.lit("column").alias("perimeter"),
+            F.col(column_col).cast("string").alias("scope"),
+            F.lit(dataset).alias("parent_scope"),
+        )
+        for m in metric_cols
+    ]
+    return summary.select(F.inline(F.array(*structs)))
+
+
+def _dataset_metrics(wide: DataFrame, dataset: str) -> DataFrame:
+    """One-row wide aggregate → long dataset-scope envelope rows."""
+    structs = [
+        F.struct(
+            F.lit(m).alias("key"),
+            F.col(m).cast("string").alias("value"),
+            F.lit("dataset").alias("perimeter"),
+            F.lit(dataset).alias("scope"),
+            F.lit(None).cast("string").alias("parent_scope"),
+        )
+        for m in wide.columns
+    ]
+    return wide.select(F.inline(F.array(*structs)))
+
+
+def run_pack(
+    spark: SparkSession,
+    pack_name: str,
+    source_conf: dict,
+    pack_conf: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Run one pack; returns {"metrics", "recommendations", "schemas"}."""
+    pack_conf = pack_conf or {}
+    job = pack_conf.get("job", {})
+    dataset = source_conf.get("name", "source")
+    df = load_source(spark, source_conf)
+
+    if pack_name == "text_validation":
+        from packs_spark.operators import text_validation
+
+        cols = job.get("columns") or [
+            c for c, t in df.dtypes if t == "string"
+        ]
+        min_l, max_l = job.get("min_length"), job.get("max_length")
+        summary = text_validation.summary(df, cols, min_l, max_l)
+        metrics = _melt_per_column(summary, "column", dataset).unionByName(
+            _dataset_metrics(text_validation.score(summary), dataset)
+        )
+        recs = text_validation_recommendations(summary, dataset, min_l, max_l)
+        return {
+            "metrics": metrics,
+            "recommendations": recs,
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "profiling":
+        cols = df.columns
+        n = F.count(F.lit(1))
+        missing = sum(F.sum(F.col(c).isNull().cast("long")) for c in cols)
+        wide = df.agg(
+            n.alias("n_rows"),
+            F.lit(len(cols)).alias("n_var"),
+            missing.alias("n_cells_missing"),
+            F.round(missing / (n * len(cols)), 6).alias("p_cells_missing"),
+        )
+        per_col = df.agg(
+            *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols]
+        ).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(f"nn_{c}").alias("non_null"),
+                        )
+                        for c in cols
+                    ]
+                )
+            )
+        )
+        metrics = _dataset_metrics(wide, dataset).unionByName(
+            _melt_per_column(per_col, "column", dataset)
+        )
+        return {
+            "metrics": metrics,
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "duplicates":
+        keys = job.get("columns") or df.columns
+        kc = F.struct(*[F.col(c) for c in keys])
+        n = F.count(F.lit(1))
+        d = F.countDistinct(kc)
+        wide = df.agg(
+            n.alias("total_rows"),
+            (n - d).alias("duplicate_rows"),
+            F.round((n - d) / n, 4).alias("duplicate_percent"),
+            F.round(d / n, 2).alias("score"),
+        )
+        return {
+            "metrics": _dataset_metrics(wide, dataset),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "schema_scanner":
+        names = sorted(df.columns)
+        wide = spark.range(1).select(
+            F.lit(len(names)).alias("column_count"),
+            F.md5(F.lit(",".join(names))).alias("columns_hash"),
+        )
+        return {
+            "metrics": _dataset_metrics(wide, dataset),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    raise ValueError(
+        f"unknown pack {pack_name!r}; available: text_validation, "
+        "profiling, duplicates, schema_scanner (other packs are exposed "
+        "as operators + registry queries — see SURVEY.md §2)"
+    )

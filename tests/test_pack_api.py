@@ -1,0 +1,73 @@
+"""Pack-level API facade: three envelope streams per run, the reference's
+per-pack contract (qalita_core.pack.Pack metrics/recommendations/schemas)."""
+
+import pytest
+
+from packs_spark.pack_api import run_pack
+
+
+@pytest.fixture()
+def csv_source(spark, tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text(
+        "name,comment,age\n"
+        'alice,fine text,30\n'
+        'bob,"",41\n'  # quoted empty survives CSV parsing as ""
+        'carol,n/a,35\n'
+        'dave,"  ",28\n'
+        'alice,fine text,30\n'
+    )
+    return {"type": "csv", "path": str(p), "name": "people"}
+
+
+def test_text_validation_pack_streams(spark, csv_source):
+    out = run_pack(
+        spark,
+        "text_validation",
+        csv_source,
+        {"job": {"columns": ["comment"], "min_length": 2}},
+    )
+    m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
+    # per-column metric rows land in column scope with dataset parent;
+    # note CSV empty fields arrive as NULL (same as pandas read_csv →
+    # NaN in the reference), so empty_count is 0 and non_null is 4
+    assert m[("non_null", "comment")] == "4"
+    assert m[("empty_count", "comment")] == "0"
+    assert m[("placeholder_count", "comment")] == "1"
+    assert m[("whitespace_count", "comment")] == "1"
+    # dataset-level score row
+    assert ("score", "people") in m
+    recs = {r.type for r in out["recommendations"].collect()}
+    assert "Null Placeholder Found" in recs
+    assert "Whitespace Only Text" in recs
+    schema_rows = out["schemas"].collect()
+    assert {r.value for r in schema_rows if r.key == "column"} == {
+        "name", "comment", "age",
+    }
+
+
+def test_profiling_pack_streams(spark, csv_source):
+    out = run_pack(spark, "profiling", csv_source)
+    m = {(r.key, r.perimeter, r.scope): r.value for r in out["metrics"].collect()}
+    assert m[("n_rows", "dataset", "people")] == "5"
+    assert m[("n_var", "dataset", "people")] == "3"
+    assert m[("non_null", "column", "comment")] == "4"
+    assert out["recommendations"].count() == 0
+
+
+def test_duplicates_pack_streams(spark, csv_source):
+    out = run_pack(spark, "duplicates", csv_source)
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["total_rows"] == "5" and m["duplicate_rows"] == "1"
+
+
+def test_schema_scanner_pack_streams(spark, csv_source):
+    out = run_pack(spark, "schema_scanner", csv_source)
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["column_count"] == "3"
+    assert len(m["columns_hash"]) == 32
+
+
+def test_unknown_pack_raises(spark, csv_source):
+    with pytest.raises(ValueError, match="unknown pack"):
+        run_pack(spark, "nope", csv_source)
