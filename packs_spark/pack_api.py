@@ -160,8 +160,114 @@ def run_pack(
             "schemas": schema_stream(spark, df, dataset),
         }
 
+    if pack_name == "numeric_validation":
+        from packs_spark.io.envelope import recommendation_level
+
+        rules_cfg = job.get("rules") or []
+        aggs = []
+        for i, r in enumerate(rules_cfg):
+            c = F.col(r["column"])
+            below = F.sum((c < F.lit(r["min"])).cast("long"))
+            above = F.sum((c > F.lit(r["max"])).cast("long"))
+            aggs += [
+                below.alias(f"b{i}"),
+                above.alias(f"a{i}"),
+                F.count(c).alias(f"n{i}"),
+            ]
+        wide = df.agg(*aggs).collect()[0]
+        metric_rows, rec_rows = [], []
+        for i, r in enumerate(rules_cfg):
+            b, a, n = wide[f"b{i}"] or 0, wide[f"a{i}"] or 0, wide[f"n{i}"]
+            prop = (b + a) / n if n else 0.0
+            metric_rows += [
+                ("below_min", str(b), "column", r["column"], dataset),
+                ("above_max", str(a), "column", r["column"], dataset),
+                ("in_range_percent", str(round(1 - prop, 4)), "column",
+                 r["column"], dataset),
+            ]
+            if b + a:
+                rec_rows.append(
+                    (
+                        f"Column '{r['column']}' has {b + a} values outside "
+                        f"[{r['min']}, {r['max']}].",
+                        "Out Of Range Values",
+                        "column",
+                        r["column"],
+                        dataset,
+                        recommendation_level(prop),
+                    )
+                )
+        from packs_spark.io.envelope import (
+            metric_rows_to_df,
+            recommendation_rows_to_df,
+        )
+
+        return {
+            "metrics": metric_rows_to_df(spark, metric_rows),
+            "recommendations": (
+                recommendation_rows_to_df(spark, rec_rows)
+                if rec_rows
+                else _empty(spark, RECOMMENDATION_SCHEMA)
+            ),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "pii_scanner":
+        from packs_spark.functions.patterns import PII_PATTERNS, contains_pattern
+        from packs_spark.io.envelope import (
+            metric_rows_to_df,
+            recommendation_level,
+            recommendation_rows_to_df,
+        )
+
+        cols = job.get("columns") or [
+            c for c, t in df.dtypes if t == "string"
+        ]
+        keys = job.get("patterns") or [k for k, _ in PII_PATTERNS]
+        pats = [(k, rx) for k, rx in PII_PATTERNS if k in keys]
+        aggs = [
+            F.sum(contains_pattern(F.col(c), rx).cast("long")).alias(
+                f"h_{c}__{k}"
+            )
+            for c in cols
+            for k, rx in pats
+        ]
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+        wide = df.agg(*aggs).collect()[0]
+        metric_rows, rec_rows = [], []
+        for c in cols:
+            col_hits = 0
+            for k, _ in pats:
+                h = wide[f"h_{c}__{k}"] or 0
+                if h:
+                    metric_rows.append(
+                        (f"pii_hits_{k}", str(h), "column", c, dataset)
+                    )
+                col_hits += h
+            if col_hits:
+                rec_rows.append(
+                    (
+                        f"Column '{c}' matched PII patterns in {col_hits} rows.",
+                        "PII Found",
+                        "column",
+                        c,
+                        dataset,
+                        recommendation_level(col_hits / max(wide["__n"], 1)),
+                    )
+                )
+        return {
+            "metrics": metric_rows_to_df(spark, metric_rows),
+            "recommendations": (
+                recommendation_rows_to_df(spark, rec_rows)
+                if rec_rows
+                else _empty(spark, RECOMMENDATION_SCHEMA)
+            ),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
     raise ValueError(
         f"unknown pack {pack_name!r}; available: text_validation, "
-        "profiling, duplicates, schema_scanner (other packs are exposed "
-        "as operators + registry queries — see SURVEY.md §2)"
+        "profiling, duplicates, schema_scanner, numeric_validation, "
+        "pii_scanner (other packs are exposed as operators + registry "
+        "queries — see SURVEY.md §2)"
     )

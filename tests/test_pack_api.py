@@ -71,3 +71,38 @@ def test_schema_scanner_pack_streams(spark, csv_source):
 def test_unknown_pack_raises(spark, csv_source):
     with pytest.raises(ValueError, match="unknown pack"):
         run_pack(spark, "nope", csv_source)
+
+
+def test_numeric_validation_pack_streams(spark, csv_source):
+    out = run_pack(
+        spark,
+        "numeric_validation",
+        csv_source,
+        {"job": {"rules": [{"column": "age", "min": 30, "max": 40}]}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["below_min"] == "1" and m["above_max"] == "1"  # 28 and 41
+    rec = out["recommendations"].first()
+    assert rec.type == "Out Of Range Values"
+    assert rec.level in ("info", "warning", "high")
+    assert "2 values outside" in rec.content
+
+
+def test_pii_scanner_pack_streams(spark, tmp_path):
+    p = tmp_path / "contacts.csv"
+    p.write_text(
+        "note\n"
+        "reach me at al@example.com\n"
+        "server at 10.0.0.1\n"
+        "nothing here\n"
+    )
+    out = run_pack(
+        spark,
+        "pii_scanner",
+        {"type": "csv", "path": str(p), "name": "contacts"},
+        {"job": {"patterns": ["email", "ipv4"]}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["pii_hits_email"] == "1" and m["pii_hits_ipv4"] == "1"
+    rec = out["recommendations"].first()
+    assert rec.type == "PII Found" and "2 rows" in rec.content
