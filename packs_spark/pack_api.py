@@ -265,9 +265,73 @@ def run_pack(
             "schemas": schema_stream(spark, df, dataset),
         }
 
+    if pack_name == "data_compare":
+        from packs_spark.operators.compare import compare
+
+        target_conf = job.get("target")
+        if not target_conf:
+            raise ValueError("data_compare needs pack_conf.job.target")
+        target = load_source(spark, target_conf)
+        wide = compare(
+            df,
+            target,
+            id_cols=job["id_columns"],
+            compare_cols=job.get("columns"),
+            abs_tol=job.get("abs_tol", 1e-4),
+            rel_tol=job.get("rel_tol", 0.0),
+        )
+        return {
+            "metrics": _dataset_metrics(wide, dataset),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "timeliness":
+        from packs_spark.functions.datesniff import sniff_column, sniffed_timestamp
+        from packs_spark.io.envelope import metric_rows_to_df
+        from packs_spark.io.sources import data_staleness_days
+
+        metric_rows = []
+        for col in df.columns:
+            info = sniff_column(df, col)
+            if info["kind"] == "year_only":
+                r = df.agg(
+                    F.min(F.col(col).cast("int")).alias("mn"),
+                    F.max(F.col(col).cast("int")).alias("mx"),
+                ).first()
+                metric_rows += [
+                    ("earliest_year", str(r.mn), "column", col, dataset),
+                    ("latest_year", str(r.mx), "column", col, dataset),
+                ]
+            elif info["kind"] == "date":
+                ts = sniffed_timestamp(df, col)
+                r = df.select(ts.alias("ts")).agg(
+                    F.date_format(F.min("ts"), "yyyy-MM-dd").alias("mn"),
+                    F.date_format(F.max("ts"), "yyyy-MM-dd").alias("mx"),
+                ).first()
+                metric_rows += [
+                    ("earliest_date", str(r.mn), "column", col, dataset),
+                    ("latest_date", str(r.mx), "column", col, dataset),
+                ]
+        if source_conf.get("path"):
+            metric_rows.append(
+                (
+                    "data_staleness_days",
+                    str(round(data_staleness_days(source_conf["path"]), 2)),
+                    "dataset",
+                    dataset,
+                    None,
+                )
+            )
+        return {
+            "metrics": metric_rows_to_df(spark, metric_rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
     raise ValueError(
         f"unknown pack {pack_name!r}; available: text_validation, "
         "profiling, duplicates, schema_scanner, numeric_validation, "
-        "pii_scanner (other packs are exposed as operators + registry "
-        "queries — see SURVEY.md §2)"
+        "pii_scanner, data_compare, timeliness (other packs are exposed "
+        "as operators + registry queries — see SURVEY.md §2)"
     )

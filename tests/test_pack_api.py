@@ -106,3 +106,39 @@ def test_pii_scanner_pack_streams(spark, tmp_path):
     assert m["pii_hits_email"] == "1" and m["pii_hits_ipv4"] == "1"
     rec = out["recommendations"].first()
     assert rec.type == "PII Found" and "2 rows" in rec.content
+
+
+def test_data_compare_pack_streams(spark, tmp_path):
+    src = tmp_path / "a.csv"
+    tgt = tmp_path / "b.csv"
+    src.write_text("id,v\n1,10.0\n2,20.0\n3,30.0\n")
+    tgt.write_text("id,v\n1,10.0\n2,21.0\n4,40.0\n")
+    out = run_pack(
+        spark,
+        "data_compare",
+        {"type": "csv", "path": str(src), "name": "a"},
+        {"job": {"target": {"type": "csv", "path": str(tgt)},
+                 "id_columns": ["id"]}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["rows_in_common"] == "2"
+    assert m["rows_source_only"] == "1" and m["rows_target_only"] == "1"
+
+
+def test_timeliness_pack_streams(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "launch,year\n"
+        "2021-03-05,1999\n"
+        "2020-01-15,2004\n"
+        "2022-06-30,2001\n"
+    )
+    out = run_pack(
+        spark, "timeliness", {"type": "csv", "path": str(p), "name": "t"}
+    )
+    m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
+    assert m[("earliest_date", "launch")] == "2020-01-15"
+    assert m[("latest_date", "launch")] == "2022-06-30"
+    assert m[("earliest_year", "year")] == "1999"
+    assert m[("latest_year", "year")] == "2004"
+    assert float(m[("data_staleness_days", "t")]) >= 0.0
