@@ -329,9 +329,246 @@ def run_pack(
             "schemas": schema_stream(spark, df, dataset),
         }
 
+    if pack_name == "pattern_validation":
+        from packs_spark.functions.patterns import FORMAT_PATTERNS, matches_format
+        from packs_spark.io.envelope import metric_rows_to_df
+
+        checks = job.get("checks") or []  # [{"column":..., "pattern": key}]
+        aggs = []
+        for i, ch in enumerate(checks):
+            c = F.col(ch["column"])
+            rx = FORMAT_PATTERNS[ch["pattern"]]
+            ok = F.sum(
+                F.coalesce(matches_format(c, rx).cast("long"), F.lit(0))
+            )
+            aggs += [ok.alias(f"ok{i}"), F.count(c).alias(f"n{i}")]
+        wide = df.agg(*aggs).collect()[0] if checks else {}
+        rows = []
+        for i, ch in enumerate(checks):
+            ok, n = wide[f"ok{i}"] or 0, wide[f"n{i}"]
+            rows += [
+                (f"valid_{ch['pattern']}", str(ok), "column", ch["column"],
+                 dataset),
+                (f"valid_percent_{ch['pattern']}",
+                 str(round(ok / n, 4) if n else 1.0), "column",
+                 ch["column"], dataset),
+            ]
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "accuracy":
+        from packs_spark.functions.numeric import decimal_digits
+        from packs_spark.io.envelope import metric_rows_to_df
+
+        cols = job.get("columns") or [
+            c for c, t in df.dtypes if t in ("double", "float")
+        ]
+        rows = []
+        for col in cols:
+            d = (
+                df.where(F.col(col).isNotNull())
+                .select(decimal_digits(F.col(col)).alias("digits"))
+                .groupBy("digits")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            agg = d.agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("digits")).alias("nd"))
+                ).alias("m"),
+                F.sum("cnt").alias("nn"),
+            ).first()
+            if agg.nn:
+                rows += [
+                    ("modal_decimal_digits", str(-agg.m.nd), "column", col,
+                     dataset),
+                    ("proportion_at_modal",
+                     str(round(agg.m.cnt / agg.nn, 4)), "column", col,
+                     dataset),
+                ]
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "referential_integrity":
+        from packs_spark.io.envelope import metric_rows_to_df
+
+        parent_conf = job.get("parent")
+        if not parent_conf:
+            raise ValueError("referential_integrity needs pack_conf.job.parent")
+        parent = load_source(spark, parent_conf)
+        ck, pk = job["child_key"], job["parent_key"]
+        joined = df.join(
+            F.broadcast(parent.select(pk).dropDuplicates()),
+            df[ck] == F.col(pk),
+            "left",
+        )
+        orphan = (F.col(ck).isNotNull() & F.col(pk).isNull()).cast("long")
+        r = joined.agg(
+            F.sum(orphan).alias("orphans"), F.count(F.lit(1)).alias("n")
+        ).first()
+        rows = [
+            ("orphan_count", str(r.orphans or 0), "dataset", dataset, None),
+            ("child_count", str(r.n), "dataset", dataset, None),
+            ("orphan_ratio", str(round((r.orphans or 0) / r.n, 4)),
+             "dataset", dataset, None),
+        ]
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "outlier_detection":
+        from packs_spark.io.envelope import (
+            metric_rows_to_df,
+            recommendation_level,
+            recommendation_rows_to_df,
+        )
+        from packs_spark.ml.knn import knn_normality
+
+        feats = job.get("columns") or [
+            c for c, t in df.dtypes if t in ("double", "float", "bigint", "int")
+        ]
+        order = job.get("order_columns") or [df.columns[0]]
+        r = knn_normality(
+            df,
+            feats,
+            order,
+            k=job.get("n_neighbors", 5),
+            fit_cap=job.get("fit_cap", 100_000),
+        ).first()
+        prop = (r.n_outliers or 0) / r.n_rows if r.n_rows else 0.0
+        rows = [
+            ("n_outliers", str(r.n_outliers), "dataset", dataset, None),
+            ("normality_score", str(r.normality_score), "dataset", dataset,
+             None),
+        ]
+        recs = []
+        if r.n_outliers:
+            recs.append(
+                (
+                    f"{r.n_outliers} of {r.n_rows} rows score as outliers.",
+                    "Outliers Detected",
+                    "dataset",
+                    dataset,
+                    None,
+                    recommendation_level(prop),
+                )
+            )
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": (
+                recommendation_rows_to_df(spark, recs)
+                if recs
+                else _empty(spark, RECOMMENDATION_SCHEMA)
+            ),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "data_drift":
+        from packs_spark.io.envelope import metric_rows_to_df
+        from packs_spark.operators.drift import (
+            drift_score,
+            ks_2sample,
+            ks_pvalue_asymp,
+        )
+
+        target_conf = job.get("target")
+        if not target_conf:
+            raise ValueError("data_drift needs pack_conf.job.target")
+        target = load_source(spark, target_conf)
+        cols = job.get("columns") or [
+            c
+            for c, t in df.dtypes
+            if t in ("double", "float", "bigint", "int") and c in target.columns
+        ]
+        rows, pvals = [], []
+        for col in cols:
+            d, n_a, n_b = ks_2sample(df, target, col)
+            p = ks_pvalue_asymp(d, n_a, n_b)
+            pvals.append(p)
+            rows += [
+                ("ks_statistic", str(round(d, 6)), "column", col, dataset),
+                ("ks_pvalue", str(round(p, 6)), "column", col, dataset),
+            ]
+        rows.append(
+            ("drift_score", str(round(drift_score(pvals), 2)), "dataset",
+             dataset, None)
+        )
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "great_expectations":
+        from packs_spark.io.envelope import metric_rows_to_df
+        from packs_spark.operators.expectations import evaluate_suite
+
+        res = evaluate_suite(df, job.get("expectations", []))
+        rows = [
+            (r["expectation"], str(r["success"]), "column",
+             r.get("column") or dataset, dataset)
+            for r in res
+        ]
+        score = (
+            sum(1 for r in res if r["success"]) / len(res) if res else 1.0
+        )
+        rows.append(("score", str(round(score, 2)), "dataset", dataset, None))
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "soda":
+        from packs_spark.io.envelope import metric_rows_to_df
+        from packs_spark.operators.expectations import (
+            evaluate_suite,
+            parse_sodacl,
+        )
+
+        suite = [parse_sodacl(c) for c in job.get("checks", [])]
+        res = evaluate_suite(df, suite)
+        rows = [
+            (r["expectation"], str(r["success"]), "dataset", dataset, None)
+            for r in res
+        ]
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
+    if pack_name == "fhir_compliance":
+        from packs_spark.operators.fhir import compliance_summary
+
+        wide = compliance_summary(
+            df,
+            field_mappings=job.get("field_mappings", {}),
+            required_fields=job.get("required_fields"),
+            enums=job.get("enums"),
+            patterns=job.get("patterns"),
+            date_fields=job.get("date_fields"),
+            boolean_fields=job.get("boolean_fields"),
+        )
+        return {
+            "metrics": _dataset_metrics(wide, dataset),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
     raise ValueError(
-        f"unknown pack {pack_name!r}; available: text_validation, "
-        "profiling, duplicates, schema_scanner, numeric_validation, "
-        "pii_scanner, data_compare, timeliness (other packs are exposed "
-        "as operators + registry queries — see SURVEY.md §2)"
+        f"unknown pack {pack_name!r}; every reference pack except "
+        "dbt_checks (out of engine scope — it shells out to dbt) is "
+        "available: text_validation, profiling, duplicates, "
+        "schema_scanner, numeric_validation, pii_scanner, data_compare, "
+        "timeliness, pattern_validation, accuracy, referential_integrity, "
+        "outlier_detection, data_drift, great_expectations, soda, "
+        "fhir_compliance"
     )

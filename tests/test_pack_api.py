@@ -142,3 +142,70 @@ def test_timeliness_pack_streams(spark, tmp_path):
     assert m[("earliest_year", "year")] == "1999"
     assert m[("latest_year", "year")] == "2004"
     assert float(m[("data_staleness_days", "t")]) >= 0.0
+
+
+def test_remaining_pack_adapters(spark, tmp_path):
+    """One smoke per adapter: every reference pack except dbt runs through
+    run_pack and yields the three streams."""
+    import pandas as pd
+
+    src = tmp_path / "m.csv"
+    src.write_text(
+        "id,email,price,qty\n"
+        "1,a@x.com,10.50,3\n"
+        "2,bad-email,20.25,4\n"
+        "3,c@y.org,30.75,5\n"
+        "4,d@z.net,40.00,600\n"
+    )
+    conf = {"type": "csv", "path": str(src), "name": "m"}
+
+    out = run_pack(spark, "pattern_validation", conf,
+                   {"job": {"checks": [{"column": "email", "pattern": "email"}]}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["valid_email"] == "3" and m["valid_percent_email"] == "0.75"
+
+    out = run_pack(spark, "accuracy", conf, {"job": {"columns": ["price"]}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["modal_decimal_digits"] in ("1", "2")
+
+    parent = tmp_path / "p.csv"
+    parent.write_text("pid\n1\n2\n3\n")
+    out = run_pack(spark, "referential_integrity", conf,
+                   {"job": {"parent": {"type": "csv", "path": str(parent)},
+                            "child_key": "id", "parent_key": "pid"}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["orphan_count"] == "1" and m["child_count"] == "4"
+
+    out = run_pack(spark, "outlier_detection", conf,
+                   {"job": {"columns": ["qty"], "order_columns": ["id"],
+                            "n_neighbors": 2}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert "normality_score" in m
+
+    tgt = tmp_path / "t.csv"
+    tgt.write_text("id,price,qty\n1,11.0,3\n2,19.0,4\n3,31.0,5\n4,41.0,6\n")
+    out = run_pack(spark, "data_drift", conf,
+                   {"job": {"target": {"type": "csv", "path": str(tgt)},
+                            "columns": ["price"]}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert "ks_statistic" in m and "drift_score" in m
+
+    out = run_pack(spark, "great_expectations", conf,
+                   {"job": {"expectations": [
+                       {"expectation_type": "expect_column_values_to_not_be_null",
+                        "kwargs": {"column": "id"}}]}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["expect_column_values_to_not_be_null"] == "True"
+    assert m["score"] == "1.0"
+
+    out = run_pack(spark, "soda", conf,
+                   {"job": {"checks": ["row_count > 0", "missing_count(id) = 0"]}})
+    vals = [r.value for r in out["metrics"].collect()]
+    assert vals == ["True", "True"]
+
+    out = run_pack(spark, "fhir_compliance", conf,
+                   {"job": {"field_mappings": {"id": "id", "mail": "email"},
+                            "required_fields": ["id"],
+                            "patterns": {"mail": r"[^@]+@[^@]+\.[a-z]+"}}})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["total_records"] == "4" and m["valid_records"] == "3"
