@@ -112,6 +112,19 @@ def hyperplane_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, table: int):
+    """The bucket id of one plane family as a Column expression."""
+    planes = _planes(dim, n_planes, seed=7 + 131 * table)
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        plane_arr = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane_arr) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
 def bucket_keys(
     df: DataFrame,
     vec_col: str,
@@ -120,13 +133,24 @@ def bucket_keys(
     n_tables: int,
 ) -> DataFrame:
     """Explode each vector into ``n_tables`` (table, bucket) keys.  One
-    equi-join on (table, bucket) then replaces n_tables separate joins."""
-    out = None
-    for t in range(n_tables):
-        b = hyperplane_buckets(df, vec_col, dim, n_planes, "bucket", table=t)
-        b = b.withColumn("tbl", F.lit(t))
-        out = b if out is None else out.unionByName(b)
-    return out
+    equi-join on (table, bucket) then replaces n_tables separate joins.
+
+    All families are computed in ONE projection (array of structs →
+    explode) so the source is scanned once — the previous union-of-tables
+    form re-scanned the corpus ``n_tables`` times."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(vec_col, dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("__tb", F.explode(entries)).select(
+        *df.columns, F.col("__tb.tbl").alias("tbl"),
+        F.col("__tb.bucket").alias("bucket"),
+    )
 
 
 def topk_lsh(
