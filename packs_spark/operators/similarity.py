@@ -125,6 +125,24 @@ def _bucket_expr(vec_col: str, dim: int, n_planes: int, table: int):
     return bucket
 
 
+def sql_bucket_expr(col: str, dim: int, n_planes: int, table: int) -> str:
+    """DuckDB rendering of :func:`_bucket_expr` — the plane family is a
+    deterministic LCG constant, so the bucket ids are SQL-expressible and
+    the LSH queries get full value-hash oracles.  Sign agreement across
+    engines: a flip needs |dot| below float-summation noise (~1e-9)
+    against O(1) dots from random planes — checked empirically in
+    tests/test_similarity.py over every corpus vector and table."""
+    planes = _planes(dim, n_planes, seed=7 + 131 * table)
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 def bucket_keys(
     df: DataFrame,
     vec_col: str,

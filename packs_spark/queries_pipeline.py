@@ -339,12 +339,56 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
-@register("dedup_embedding_lsh_documents")
+def _lsh_bucket_union_sql(dim: int, n_planes: int, n_tables: int) -> str:
+    """All (vec_id, tbl, bucket) keys — the plane families are
+    deterministic LCG constants, so LSH buckets are fully
+    SQL-expressible (similarity.sql_bucket_expr; engine sign agreement
+    checked exhaustively in tests/test_similarity.py)."""
+    from packs_spark.operators.similarity import sql_bucket_expr
+
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{sql_bucket_expr('embedding', dim, n_planes, t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    )
+
+
+@register(
+    "dedup_embedding_lsh_documents",
+    oracle=f"""
+WITH k AS ({{_K}}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pr AS (
+  SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+),
+z AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pr),
+d AS (
+  SELECT id_a, id_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+  FROM z GROUP BY 1, 2
+),
+c AS (SELECT round(dp / (na * nb), 6) AS cosine FROM d
+      WHERE round(dp / (na * nb), 6) >= 0.3)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_found,
+       coalesce(round(max(cosine), 6), 0.0) AS max_cosine
+FROM c
+""".replace("{_K}", _lsh_bucket_union_sql(64, 10, 8)),
+)
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Scale tier of embedding near-dup: hyperplane-bucketed candidates +
-    exact cosine verification (no all-pairs step).  No SQL oracle (the
-    bucket ids come from the deterministic plane family); gated by
-    tests/test_dedup.py recall-vs-brute-force assertions."""
+    exact cosine verification (no all-pairs step).  Fully oracle-gated:
+    the plane families are deterministic constants, so DuckDB recomputes
+    the same buckets from literal plane arrays."""
     from packs_spark.operators.dedup import embedding_near_dups_lsh
 
     emb = load(spark, sf_dir, "embeddings")
@@ -395,8 +439,47 @@ def q_topk_bruteforce(spark, sf_dir):
     return topk_bruteforce(emb, queries, k=5, query_id_col="query_id")
 
 
-@register("similarity_topk_lsh")
+@register(
+    "similarity_topk_lsh",
+    oracle="""
+WITH k AS ({_K}),
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM k WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN k c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.query_id <> c.vec_id
+),
+pr AS (
+  SELECT c.query_id, c.neighbor_id, eq.embedding AS qv, ec.embedding AS cv
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+),
+z AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM pr),
+d AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+         sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+  FROM z GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dp / (na * nb), 6) AS cosine FROM d
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""".replace("{_K}", _lsh_bucket_union_sql(64, 4, 8)),
+)
 def q_topk_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH top-k — fully oracle-gated (deterministic
+    plane constants; same candidate join, cosine, and tie-break as the
+    DuckDB recomputation)."""
     from packs_spark.operators.similarity import topk_lsh
 
     emb = load(spark, sf_dir, "embeddings")

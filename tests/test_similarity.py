@@ -146,3 +146,30 @@ def test_ivf_index_build_load_search_and_pruning(spark, tmp_path, embeddings):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert abs(r.cosine - exact_scores[key]) < 1e-9
+
+
+def test_sql_bucket_expr_matches_spark_buckets(spark, sf_dir, embeddings):
+    """Every (vector, table) bucket id must agree between the Spark
+    expression and the DuckDB rendering — the premise that upgrades the
+    LSH queries from rows-only to full value-hash oracles."""
+    import duckdb
+
+    from packs_spark.operators.similarity import bucket_keys, sql_bucket_expr
+
+    sk = bucket_keys(
+        embeddings.select("vec_id", "embedding"), "embedding", 64, 10, 8
+    )
+    srows = {(r.vec_id, r.tbl): r.bucket for r in sk.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{sql_bucket_expr('embedding', 64, 10, t)} AS bucket FROM embeddings"
+        for t in range(8)
+    )
+    orows = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert srows == orows
