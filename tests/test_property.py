@@ -124,3 +124,36 @@ def test_boolean_like_python_twin(v):
     # 'true'/'false' in Spark vs 'True'/'False' in python — both match
     # after lower(), which is the contract
     assert (str(v).lower() in {"true", "false", "1", "0", "yes", "no"}) == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8"),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_score_batch_independent_of_neighbors_hypothesis(texts):
+    """Any batch composition (unicode, empties, replacement chars): each
+    document's score and trigram count must equal its solo-batch values."""
+    import numpy as np
+
+    from packs_spark.ml.ngram import LangIdModel, score_batch
+
+    model = _NGRAM_MODEL
+    batch_scores, batch_tri = score_batch(texts, model.tables)
+    for i, doc in enumerate(texts):
+        solo_scores, solo_tri = score_batch([doc], model.tables)
+        assert solo_tri[0] == batch_tri[i]
+        np.testing.assert_allclose(
+            solo_scores[:, 0], batch_scores[:, i], rtol=0, atol=1e-9
+        )
+
+
+from packs_spark.ml.ngram import LangIdModel as _LangIdModel  # noqa: E402
+
+_NGRAM_MODEL = _LangIdModel.train()
