@@ -43,6 +43,9 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "textstats_documents",
     "webtext_quality_filter",
+    # round-2 operators
+    "pii_rows_documents",
+    "fhir_compliance_orders",
 ]
 
 # 1M docs: the pipeline's fixed per-run cost (~1.5s of scheduling/metrics/

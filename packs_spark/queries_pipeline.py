@@ -63,11 +63,14 @@ def q_repetition_profile(spark, sf_dir):
     reduction-order independent by construction: integer counts over a
     per-row double threshold plus an exact max."""
     df = load(spark, sf_dir, "documents")
-    r = rules.repeated_bigram_ratio(F.col("text"))
-    return df.agg(
+    # project the (expensive: split+transform+array_distinct) ratio ONCE,
+    # then aggregate the scalar — referencing the raw expression in two
+    # aggregates would evaluate the whole bigram construction twice per row
+    r = df.select(rules.repeated_bigram_ratio(F.col("text")).alias("r"))
+    return r.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((r > 0.2).cast("long")).alias("n_repetitive"),
-        F.round(F.max(r), 6).alias("max_repeated_ratio"),
+        F.sum((F.col("r") > 0.2).cast("long")).alias("n_repetitive"),
+        F.round(F.max("r"), 6).alias("max_repeated_ratio"),
     )
 
 
