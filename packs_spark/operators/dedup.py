@@ -455,6 +455,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_cap: int = 1_000_000,
 ) -> DataFrame:
     """Cluster labels for a near-dup pair list: every node gets the MIN id
     reachable from it.  Returns (node, label).
@@ -466,10 +467,42 @@ def connected_components(
     clusters are dense and tiny in diameter (a dup cluster is almost a
     clique), so this beats the O(log n)-round large-star/small-star
     alternatives on constants.  ``localCheckpoint`` cuts lineage each
-    round so the plan does not grow with iterations."""
+    round so the plan does not grow with iterations.
+
+    Adaptive fast path (same pattern as ``ks_2sample``): a pair list with
+    ≤ ``driver_cap`` edges is union-found on the driver in one collect —
+    each distributed round costs several near-empty jobs of scheduling
+    overhead, which dominates wall-clock for the small edge lists real
+    near-dup thresholds produce.  The distributed loop is the scale path
+    for genuinely huge pair lists."""
     e = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
+    spark = pairs.sparkSession
+    head = e.limit(driver_cap + 1).collect()
+    if len(head) <= driver_cap:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in head:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # union by MIN so the final root IS the min id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        nodes = {v for r in head for v in (r["src"], r["dst"])}
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        src_type = dict(e.dtypes)["src"]
+        return spark.createDataFrame(
+            rows, f"node {src_type}, label {src_type}"
+        )
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -262,3 +262,22 @@ def test_dedup_decisions_keep_one_per_cluster(spark):
     # cluster {1,2,5} keeps 1; cluster {6,7} keeps 6; 0,3,4 untouched
     assert out == {0: True, 1: True, 2: False, 3: True, 4: True,
                    5: False, 6: True, 7: False}
+
+
+def test_connected_components_distributed_path_matches_fast_path(spark):
+    """driver_cap=0 forces the hash-min loop; labels must equal the
+    union-find fast path on the same graph."""
+    from packs_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + [(i, i + 1) for i in range(100, 112)],
+        ["id_a", "id_b"],
+    )
+    fast = {r.node: r.label for r in connected_components(pairs).collect()}
+    dist = {
+        r.node: r.label
+        for r in connected_components(pairs, driver_cap=0).collect()
+    }
+    assert fast == dist
+    assert dist[112] == 100 and dist[3] == 1 and dist[21] == 20
