@@ -128,6 +128,50 @@ def keep_mask(c: Column, **thresholds) -> Column:
     return mask
 
 
+# Tracking query parameters stripped by url canonicalization (public
+# lists: UTM campaign tags + common click ids).
+TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref", "referrer",
+]
+
+
+def canonical_url(c: Column) -> Column:
+    """URL canonical form for url-level dedup (the standard CC pipeline
+    step BEFORE content dedup — the same page is crawled under many
+    tracking-tagged urls):
+
+    * lowercase scheme+host (path case preserved — it is significant);
+    * drop the fragment;
+    * drop tracking query params (TRACKING_PARAMS), keep the rest in
+      their original order;
+    * drop default ports (:80 for http, :443 for https);
+    * collapse a trailing ``/`` on the path.
+
+    Pure regexp_replace chain — codegen, no UDF."""
+    u = c
+    # fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # default ports
+    u = F.regexp_replace(
+        u, r"(?i)^(https?://[^/:?#]+):(?:80|443)(?=[/?]|$)", r"$1"
+    )
+    # tracking params (leading ? or & + name=value); then fix separators
+    params = "|".join(TRACKING_PARAMS)
+    u = F.regexp_replace(u, rf"[?&](?:{params})=[^&#]*", "")
+    # a surviving '&...' that lost its '?' predecessor becomes '?...'
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    # trailing '?' with no params, trailing '/' on a non-root path
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"(?i)(https?://[^/?#]+/.+?)/+(\?|$)", r"$1$2")
+    # lowercase scheme+host only (path case is significant)
+    head = F.regexp_extract(u, r"(?i)^(https?://[^/?#]*)", 1)
+    return F.concat(
+        F.lower(head),
+        F.substring(u, F.length(head) + 1, F.lit(2_000_000_000)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANSI-SQL renderings (DuckDB oracle).  Token arrays via
 # regexp_split_to_array; list_filter/list_distinct mirror the Spark HOFs.

@@ -218,3 +218,45 @@ def test_repeated_bigram_ratio_and_optin_rule(spark):
     }
     assert base[spam] and not strict[spam]
     assert base[good] and strict[good]
+
+
+def test_canonical_url():
+    from packs_spark.pipeline.rules import canonical_url
+
+    cases = {
+        # tracking params stripped, fragment dropped, default port gone,
+        # trailing slash collapsed, scheme+host lowercased, path case kept
+        "HTTPS://Example.COM:443/Path/Page/?utm_source=x&id=7#frag":
+            "https://example.com/Path/Page?id=7",
+        "http://example.com:80/": "http://example.com/",
+        "http://example.com/a/b/?utm_campaign=c": "http://example.com/a/b",
+        "http://example.com/a?gclid=123": "http://example.com/a",
+        "http://example.com/a?id=1&utm_term=z&x=2":
+            "http://example.com/a?id=1&x=2",
+        "http://example.com/a?utm_source=only": "http://example.com/a",
+        "https://Example.com/Path": "https://example.com/Path",
+        "http://example.com:8080/keepport": "http://example.com:8080/keepport",
+        "http://example.com/exact?keep=1": "http://example.com/exact?keep=1",
+    }
+    from packs_spark.session import get_spark
+
+    spark = get_spark("canon_url_test")
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {
+        r.u: r.c
+        for r in df.select(
+            "u", canonical_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert got == cases
+
+    # the dedup property: tracking-tagged variants of one page collapse
+    variants = [
+        "http://example.com/article?utm_source=tw",
+        "http://example.com/article?utm_source=fb&utm_medium=social",
+        "HTTP://EXAMPLE.com/article#top",
+        "http://example.com:80/article",
+    ]
+    vdf = spark.createDataFrame([(u,) for u in variants], ["u"])
+    canon = vdf.select(canonical_url(F.col("u")).alias("c")).distinct()
+    assert canon.count() == 1
