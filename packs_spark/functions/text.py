@@ -98,6 +98,23 @@ def is_boolean_like(c: Column) -> Column:
     return pred
 
 
+# Cross-engine-deterministic parsability predicates (dqops CONVERSIONS
+# family: text_parsable_to_*_percent).  Integer/float use explicit
+# regexes rather than try_cast: engines disagree on cast edge semantics
+# (DuckDB TRY_CAST('12.5' AS INT) rounds; Spark nulls), while these
+# regexes behave identically under Java regex and RE2.
+INTEGER_REGEX = r"^[+-]?\d+$"
+FLOAT_REGEX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
+def is_parsable_integer(c: Column) -> Column:
+    return c.cast("string").rlike(INTEGER_REGEX)
+
+
+def is_parsable_float(c: Column) -> Column:
+    return c.cast("string").rlike(FLOAT_REGEX)
+
+
 def slugify(c: Column) -> Column:
     """F15: whitespace runs → underscores (the reference's
     ``replace_whitespaces_with_underscores`` from qalita_core.utils, used

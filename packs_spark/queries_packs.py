@@ -521,12 +521,75 @@ def q_geo_bounds(spark, sf_dir):
     )
 
 
+_BOOLEAN_LIKE_SQL = ", ".join(f"'{b}'" for b in TX.BOOLEAN_LIKE)
+
+_MESSY_STRING_SQL = """
+  CASE o_orderkey % 5
+    WHEN 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+    WHEN 1 THEN CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'no' END
+    WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+    WHEN 3 THEN 'word-' || CAST(o_orderkey AS VARCHAR)
+    ELSE CAST(o_custkey AS VARCHAR)
+  END
+"""
+
+
+@register(
+    "conversions_validity_orders",
+    oracle=f"""
+WITH s AS (SELECT {_MESSY_STRING_SQL} AS v FROM orders)
+SELECT count(*) AS n_rows,
+       round(coalesce(sum(CASE WHEN regexp_matches(v, '^[+-]?\\d+$') THEN 1 ELSE 0 END), 0)
+             * 1.0 / count(*), 4) AS parsable_integer_percent,
+       round(coalesce(sum(CASE WHEN regexp_matches(v, '^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$') THEN 1 ELSE 0 END), 0)
+             * 1.0 / count(*), 4) AS parsable_float_percent,
+       round(coalesce(sum(CASE WHEN lower(v) IN ({_BOOLEAN_LIKE_SQL}) THEN 1 ELSE 0 END), 0)
+             * 1.0 / count(*), 4) AS parsable_boolean_percent,
+       round(coalesce(sum(CASE WHEN try_strptime(v, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END), 0)
+             * 1.0 / count(*), 4) AS parsable_date_percent
+FROM s
+""",
+)
+def q_conversions_validity(spark, sf_dir):
+    """dqops CONVERSIONS family: text_parsable_to_{integer,float,boolean,
+    date}_percent over a deterministically derived messy string column
+    (same technique as timeliness_mixed_dates — the driver tables have no
+    naturally messy strings).  All four predicates are engine-agnostic:
+    explicit regexes / lexical set / format cascade — no try_cast, whose
+    edge semantics differ between engines."""
+    df = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v = (
+        F.when(k % 5 == 0,
+               F.col("o_totalprice").cast("decimal(18,2)").cast("string"))
+        .when(k % 5 == 1,
+              F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("no")))
+        .when(k % 5 == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 5 == 3, F.concat(F.lit("word-"), k.cast("string")))
+        .otherwise(F.col("o_custkey").cast("string"))
+    )
+    s = df.select(v.alias("v"))
+    n = F.count(F.lit(1))
+
+    def pct(pred):
+        return F.round(F.sum(pred.cast("long")) / n, 4)
+
+    return s.agg(
+        n.alias("n_rows"),
+        pct(TX.is_parsable_integer(F.col("v"))).alias(
+            "parsable_integer_percent"
+        ),
+        pct(TX.is_parsable_float(F.col("v"))).alias("parsable_float_percent"),
+        pct(TX.is_boolean_like(F.col("v"))).alias("parsable_boolean_percent"),
+        pct(
+            F.try_to_timestamp(F.col("v"), F.lit("yyyy-MM-dd")).isNotNull()
+        ).alias("parsable_date_percent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fhir_compliance pack — boolean-like lexical test (fhir_compliance_pack/main.py:7-8)
 # ---------------------------------------------------------------------------
-
-_BOOLEAN_LIKE_SQL = ", ".join(f"'{b}'" for b in TX.BOOLEAN_LIKE)
-
 
 @register(
     "boolean_like_lineitem",
