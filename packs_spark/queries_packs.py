@@ -1389,6 +1389,77 @@ def q_sodacl_checks(spark, sf_dir):
 
 
 @register(
+    "volume_anomaly_events",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT day, n,
+         lag(n, 7) OVER w AS n_7d_ago,
+         sum(n) OVER f AS s1,
+         sum(n * n) OVER f AS s2,
+         count(*) OVER f AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day),
+         f AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n,
+       round((n - n_7d_ago) * 100.0 / n_7d_ago, 4) AS pct_change_7d,
+       round((n - s1 * 1.0 / cnt)
+             / sqrt((s2 - s1 * 1.0 * s1 / cnt) / (cnt - 1)), 4) AS z_score,
+       abs((n - s1 * 1.0 / cnt)
+           / sqrt((s2 - s1 * 1.0 * s1 / cnt) / (cnt - 1))) > 2.0 AS anomaly
+FROM rolled
+WHERE n_7d_ago IS NOT NULL AND cnt >= 7
+ORDER BY day
+""",
+)
+def q_volume_anomaly(spark, sf_dir):
+    """dqops VOLUME family: row_count_change_7_days + row_count_anomaly as
+    a rolling z-score over the trailing 7-day window.  The rolling moments
+    are EXACT integer sums (counts), so mean/variance/z derive from
+    identical doubles in both engines — no float-accumulation drift.
+    Scale shape: one groupBy by day, then a single-partition window over
+    |days| rows (thousands, not data-sized)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day")
+    f = Window.orderBy("day").rowsBetween(-7, -1)
+    n = F.col("n")
+    rolled = daily.select(
+        "day",
+        "n",
+        F.lag("n", 7).over(w).alias("n_7d_ago"),
+        F.sum("n").over(f).alias("s1"),
+        F.sum(n * n).over(f).alias("s2"),
+        F.count(F.lit(1)).over(f).alias("cnt"),
+    )
+    s1, s2, cnt = F.col("s1"), F.col("s2"), F.col("cnt")
+    mean = s1 * 1.0 / cnt
+    sd = F.sqrt((s2 - s1 * 1.0 * s1 / cnt) / (cnt - 1))
+    z = (n - mean) / sd
+    return (
+        rolled.where(F.col("n_7d_ago").isNotNull() & (cnt >= 7))
+        .select(
+            "day",
+            "n",
+            F.round((n - F.col("n_7d_ago")) * 100.0 / F.col("n_7d_ago"), 4)
+            .alias("pct_change_7d"),
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > 2.0).alias("anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "events_metric_history_delta",
     oracle="""
 WITH daily AS (
