@@ -587,6 +587,73 @@ def q_conversions_validity(spark, sf_dir):
     )
 
 
+@register(
+    "datatype_detection_orders",
+    oracle=f"""
+WITH s AS (SELECT {_MESSY_STRING_SQL} AS v FROM orders),
+c AS (
+  SELECT CASE
+    WHEN regexp_matches(v, '^[+-]?\\d+$') THEN 'integer'
+    WHEN regexp_matches(v, '^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$') THEN 'float'
+    WHEN lower(v) IN ({_BOOLEAN_LIKE_SQL}) THEN 'boolean'
+    WHEN try_strptime(v, '%Y-%m-%d') IS NOT NULL THEN 'date'
+    ELSE 'text'
+  END AS dtype
+  FROM s
+),
+g AS (SELECT dtype, count(*) AS cnt FROM c GROUP BY dtype),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g),
+m AS (SELECT dtype, cnt FROM g ORDER BY cnt DESC, dtype ASC LIMIT 1)
+SELECT (SELECT dtype FROM m) AS detected_datatype,
+       (SELECT CAST(cnt AS BIGINT) FROM m) AS modal_count,
+       (SELECT total FROM t) AS n_values,
+       round((SELECT cnt FROM m) * 1.0 / (SELECT total FROM t), 4)
+         AS modal_fraction
+FROM (SELECT 1)
+""",
+)
+def q_datatype_detection(spark, sf_dir):
+    """dqops DATATYPE family (detected_datatype_in_text): classify each
+    string value with the deterministic parsability ladder
+    (integer → float → boolean → date → text; first match wins, so
+    '123' is integer not float) and report the modal type.  One scan +
+    a tiny groupBy; the modal row is a struct-max like
+    accuracy_decimal_precision."""
+    df = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v = (
+        F.when(k % 5 == 0,
+               F.col("o_totalprice").cast("decimal(18,2)").cast("string"))
+        .when(k % 5 == 1,
+              F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("no")))
+        .when(k % 5 == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 5 == 3, F.concat(F.lit("word-"), k.cast("string")))
+        .otherwise(F.col("o_custkey").cast("string"))
+    )
+    dtype = (
+        F.when(TX.is_parsable_integer(v), "integer")
+        .when(TX.is_parsable_float(v), "float")
+        .when(TX.is_boolean_like(v), "boolean")
+        .when(
+            F.try_to_timestamp(v, F.lit("yyyy-MM-dd")).isNotNull(), "date"
+        )
+        .otherwise("text")
+    )
+    g = df.select(dtype.alias("dtype")).groupBy("dtype").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # the grouped frame is ≤5 rows — order it exactly like the SQL's
+    # ORDER BY cnt DESC, dtype ASC and take the modal row
+    top = g.orderBy(F.desc("cnt"), F.asc("dtype")).limit(1)
+    total = g.agg(F.sum("cnt").alias("total"))
+    return top.crossJoin(total).select(
+        F.col("dtype").alias("detected_datatype"),
+        F.col("cnt").alias("modal_count"),
+        F.col("total").alias("n_values"),
+        F.round(F.col("cnt") / F.col("total"), 4).alias("modal_fraction"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fhir_compliance pack — boolean-like lexical test (fhir_compliance_pack/main.py:7-8)
 # ---------------------------------------------------------------------------
