@@ -32,16 +32,22 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
 
 
 def _melt_per_column(
-    summary: DataFrame, column_col: str, dataset: str
+    summary: DataFrame,
+    column_col: str,
+    dataset: str,
+    key_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per-column wide result frame → long envelope rows: one
     (key=metric, value=str, perimeter='column', scope=column,
     parent_scope=dataset) row per metric per column.  Pure projection +
-    inline — no shuffle; the summary frame is one row per column."""
+    inline — no shuffle; the summary frame is one row per column.
+    ``key_map`` renames result columns to the reference packs' envelope
+    key names so a consumer of the reference's metrics keeps working."""
+    key_map = key_map or {}
     metric_cols = [c for c in summary.columns if c != column_col]
     structs = [
         F.struct(
-            F.lit(m).alias("key"),
+            F.lit(key_map.get(m, m)).alias("key"),
             F.col(m).cast("string").alias("value"),
             F.lit("column").alias("perimeter"),
             F.col(column_col).cast("string").alias("scope"),
@@ -50,6 +56,22 @@ def _melt_per_column(
         for m in metric_cols
     ]
     return summary.select(F.inline(F.array(*structs)))
+
+
+# summary column → reference envelope key (text_validation_pack/main.py:
+# 190-216) — emitted verbatim so reference metric consumers keep working.
+_TEXT_VALIDATION_KEYS = {
+    "min_length": "text_min_length",
+    "max_length": "text_max_length",
+    "mean_length": "text_mean_length",
+    "below_min": "text_length_below_min_length",
+    "above_max": "text_length_above_max_length",
+    "in_range_percent": "text_length_in_range_percent",
+    "empty_count": "empty_text_found",
+    "whitespace_count": "whitespace_text_found",
+    "placeholder_count": "null_placeholder_text_found",
+    "surrounded_count": "text_surrounded_by_whitespace_found",
+}
 
 
 def _dataset_metrics(wide: DataFrame, dataset: str) -> DataFrame:
@@ -87,7 +109,9 @@ def run_pack(
         ]
         min_l, max_l = job.get("min_length"), job.get("max_length")
         summary = text_validation.summary(df, cols, min_l, max_l)
-        metrics = _melt_per_column(summary, "column", dataset).unionByName(
+        metrics = _melt_per_column(
+            summary, "column", dataset, key_map=_TEXT_VALIDATION_KEYS
+        ).unionByName(
             _dataset_metrics(text_validation.score(summary), dataset)
         )
         recs = text_validation_recommendations(summary, dataset, min_l, max_l)

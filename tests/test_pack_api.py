@@ -31,10 +31,13 @@ def test_text_validation_pack_streams(spark, csv_source):
     # per-column metric rows land in column scope with dataset parent;
     # note CSV empty fields arrive as NULL (same as pandas read_csv →
     # NaN in the reference), so empty_count is 0 and non_null is 4
+    # keys follow the REFERENCE envelope names (text_validation_pack
+    # main.py:190-216) so reference metric consumers keep working
     assert m[("non_null", "comment")] == "4"
-    assert m[("empty_count", "comment")] == "0"
-    assert m[("placeholder_count", "comment")] == "1"
-    assert m[("whitespace_count", "comment")] == "1"
+    assert m[("empty_text_found", "comment")] == "0"
+    assert m[("null_placeholder_text_found", "comment")] == "1"
+    assert m[("whitespace_text_found", "comment")] == "1"
+    assert ("text_mean_length", "comment") in m
     # dataset-level score row
     assert ("score", "people") in m
     recs = {r.type for r in out["recommendations"].collect()}
