@@ -156,19 +156,55 @@ def run_pack(
         }
 
     if pack_name == "duplicates":
+        from packs_spark.io.envelope import (
+            recommendation_level,
+            recommendation_rows_to_df,
+        )
+
         keys = job.get("columns") or df.columns
         kc = F.struct(*[F.col(c) for c in keys])
-        n = F.count(F.lit(1))
-        d = F.countDistinct(kc)
+        # reference key names and formulas verbatim
+        # (duplicates_finder_pack/main.py:150-173)
         wide = df.agg(
-            n.alias("total_rows"),
-            (n - d).alias("duplicate_rows"),
-            F.round((n - d) / n, 4).alias("duplicate_percent"),
-            F.round(d / n, 2).alias("score"),
+            F.count(F.lit(1)).alias("__n"), F.countDistinct(kc).alias("__d")
+        ).select(
+            F.round(F.col("__d") / F.col("__n"), 2).alias("score"),
+            (F.col("__n") - F.col("__d")).alias("duplicates"),
+            F.col("__d").alias("distinct_count"),
+            F.round(F.col("__d") / F.col("__n"), 4).alias("distinct_percent"),
         )
+        # ONE scan: collect the 4-value row, derive metrics AND the
+        # recommendation from it (re-aggregating for the metric stream
+        # would scan the table twice)
+        from packs_spark.io.envelope import metric_rows_to_df
+
+        row = wide.first()
+        metric_rows = [
+            (k, str(row[k]), "dataset", dataset, None)
+            for k in ("score", "duplicates", "distinct_count",
+                      "distinct_percent")
+        ]
+        recs = []
+        if row.score < 0.9:  # reference threshold main.py:174-180
+            rate = 1.0 - row.distinct_percent
+            recs.append(
+                (
+                    f"dataset '{dataset}' has a duplication rate of "
+                    f"{rate * 100:.1f}% on the scope {list(keys)}.",
+                    "Duplicates",
+                    "dataset",
+                    dataset,
+                    None,
+                    recommendation_level(rate),
+                )
+            )
         return {
-            "metrics": _dataset_metrics(wide, dataset),
-            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "metrics": metric_rows_to_df(spark, metric_rows),
+            "recommendations": (
+                recommendation_rows_to_df(spark, recs)
+                if recs
+                else _empty(spark, RECOMMENDATION_SCHEMA)
+            ),
             "schemas": schema_stream(spark, df, dataset),
         }
 

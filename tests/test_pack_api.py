@@ -61,7 +61,11 @@ def test_profiling_pack_streams(spark, csv_source):
 def test_duplicates_pack_streams(spark, csv_source):
     out = run_pack(spark, "duplicates", csv_source)
     m = {r.key: r.value for r in out["metrics"].collect()}
-    assert m["total_rows"] == "5" and m["duplicate_rows"] == "1"
+    # reference key names + formulas (duplicates_finder_pack/main.py:150-173)
+    assert m["duplicates"] == "1" and m["distinct_count"] == "4"
+    assert m["distinct_percent"] == "0.8" and m["score"] == "0.8"
+    rec = out["recommendations"].first()  # score 0.8 < 0.9 threshold
+    assert rec.type == "Duplicates" and "20.0%" in rec.content
 
 
 def test_schema_scanner_pack_streams(spark, csv_source):
