@@ -131,8 +131,11 @@ def run_pack(
             missing.alias("n_cells_missing"),
             F.round(missing / (n * len(cols)), 6).alias("p_cells_missing"),
         )
+        # per-column completeness_score — the reference's key name and
+        # round-2 formula (profiling_pack/main.py:306-323), one wide pass
         per_col = df.agg(
-            *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols]
+            F.count(F.lit(1)).alias("__t"),
+            *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols],
         ).select(
             F.inline(
                 F.array(
@@ -140,6 +143,11 @@ def run_pack(
                         F.struct(
                             F.lit(c).alias("column"),
                             F.col(f"nn_{c}").alias("non_null"),
+                            F.round(
+                                F.col(f"nn_{c}")
+                                / F.greatest(F.col("__t"), F.lit(1)),
+                                2,
+                            ).alias("completeness_score"),
                         )
                         for c in cols
                     ]

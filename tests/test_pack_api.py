@@ -55,6 +55,9 @@ def test_profiling_pack_streams(spark, csv_source):
     assert m[("n_rows", "dataset", "people")] == "5"
     assert m[("n_var", "dataset", "people")] == "3"
     assert m[("non_null", "column", "comment")] == "4"
+    # reference key + round-2 formula (profiling_pack/main.py:306-323)
+    assert m[("completeness_score", "column", "comment")] == "0.8"
+    assert m[("completeness_score", "column", "name")] == "1.0"
     assert out["recommendations"].count() == 0
 
 
