@@ -77,17 +77,27 @@ def sniff_column(df: DataFrame, col: str, sample: int = 10) -> dict:
     return {"kind": None, "formats": []}
 
 
-def sniffed_timestamp(df: DataFrame, col: str, sample: int = 10) -> Column | None:
-    """A ``try_to_timestamp`` coalesce cascade over the detected formats
-    (the F9 path), or None when the column does not look like dates.
-    The cascade is pure JVM expression — codegen, no UDF."""
-    info = sniff_column(df, col, sample=sample)
-    if info["kind"] != "date":
-        return None
+def cascade_for(col: str, formats: list[str]) -> Column:
+    """The ``try_to_timestamp`` coalesce cascade (F9 path) for an
+    already-sniffed format list — pure JVM expression, codegen, no UDF."""
     c = F.col(col).cast("string")
     return F.coalesce(
-        *[F.try_to_timestamp(c, F.lit(fmt)) for fmt in info["formats"]]
+        *[F.try_to_timestamp(c, F.lit(fmt)) for fmt in formats]
     )
+
+
+def sniffed_timestamp(
+    df: DataFrame, col: str, sample: int = 10, info: dict | None = None
+) -> Column | None:
+    """Cascade over the detected formats, or None when the column does
+    not look like dates.  Pass ``info`` (a :func:`sniff_column` result)
+    to reuse an existing classification — sampling twice costs a second
+    driver round-trip AND the two independent samples can disagree."""
+    if info is None:
+        info = sniff_column(df, col, sample=sample)
+    if info["kind"] != "date":
+        return None
+    return cascade_for(col, info["formats"])
 
 
 def sniff_all_columns(df: DataFrame, sample: int = 10) -> dict[str, dict]:

@@ -136,5 +136,12 @@ def slugify_columns(df):
     import re
 
     slugs = [re.sub(r"\s+", "_", c.strip()) for c in df.columns]
+    if len(set(slugs)) != len(slugs):
+        # fail HERE, not later with AMBIGUOUS_REFERENCE far from the cause
+        dupes = sorted({s for s in slugs if slugs.count(s) > 1})
+        raise ValueError(
+            f"column names collide after slugify: {dupes} — rename the "
+            "originals first"
+        )
     assoc = {s: c for s, c in zip(slugs, df.columns)}
     return df.toDF(*slugs), assoc

@@ -90,6 +90,28 @@ def word_shingles(c: F.Column, k: int = 3) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
+def hot_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Shingles with document frequency > ``max_df`` — the ones
+    :func:`jaccard_pairs` drops.  Exposed separately so callers can count
+    or inspect drops without forcing the pair plan to run jobs at
+    construction time."""
+    ex = df.select(
+        F.explode(char_shingles(F.col(text_col), k)).alias("s")
+    )
+    return (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,21 +141,11 @@ def jaccard_pairs(
     )
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("s")
-            .persist()
-        )
-        n_hot = hot.count()
-        if n_hot:
-            _LOG.warning(
-                "jaccard_pairs: dropping %d hot shingles with df > %d "
-                "(exact jaccard over the remaining shingle space)",
-                n_hot,
-                max_df,
-            )
+        # stays fully lazy: no persist (a pinned cache entry would leak
+        # for the session lifetime) and no eager count (constructing the
+        # pair PLAN must not run jobs).  Dropped-shingle stats on demand:
+        #   hot_shingles(df, ...).count()
+        hot = hot_shingles(df, id_col, text_col, k=k, max_df=max_df)
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
     # per-doc set sizes from the SAME (capped) shingle space; joined at
     # pair granularity (one row per doc — a dim-sized join, not a second
@@ -477,10 +489,13 @@ def connected_components(
     for genuinely huge pair lists."""
     e = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
+    ).persist()  # persist BEFORE the probe: the fallthrough path must not
+    # re-run the (typically expensive self-join) pair plan a second time
     spark = pairs.sparkSession
-    head = e.limit(driver_cap + 1).collect()
-    if len(head) <= driver_cap:
+    n_edges = e.count()
+    if n_edges <= driver_cap:
+        head = e.collect()
+        e.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -513,6 +528,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -532,7 +548,19 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter would otherwise be SPLIT
+        # silently — surface it (near-dup clusters are near-cliques, so
+        # hitting this means the input is not a near-dup pair list)
+        _LOG.warning(
+            "connected_components did not converge in %d rounds "
+            "(%d labels still changing) — labels for long-chain "
+            "components are split; raise max_iter",
+            max_iter,
+            changed,
+        )
     edges.unpersist()
+    e.unpersist()
     return labels
 
 

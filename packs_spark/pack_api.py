@@ -242,7 +242,8 @@ def run_pack(
                 above.alias(f"a{i}"),
                 F.count(c).alias(f"n{i}"),
             ]
-        wide = df.agg(*aggs).collect()[0]
+        # no rules → empty streams (df.agg() with zero exprs raises)
+        wide = df.agg(*aggs).collect()[0] if aggs else {}
         metric_rows, rec_rows = [], []
         for i, r in enumerate(rules_cfg):
             b, a, n = wide[f"b{i}"] or 0, wide[f"a{i}"] or 0, wide[f"n{i}"]
@@ -372,7 +373,9 @@ def run_pack(
                     ("latest_year", str(r.mx), "column", col, dataset),
                 ]
             elif info["kind"] == "date":
-                ts = sniffed_timestamp(df, col)
+                # reuse the classification — a second independent sample
+                # could disagree (and sniffed_timestamp would return None)
+                ts = sniffed_timestamp(df, col, info=info)
                 r = df.select(ts.alias("ts")).agg(
                     F.date_format(F.min("ts"), "yyyy-MM-dd").alias("mn"),
                     F.date_format(F.max("ts"), "yyyy-MM-dd").alias("mx"),

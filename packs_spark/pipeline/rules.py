@@ -156,12 +156,21 @@ def canonical_url(c: Column) -> Column:
     u = F.regexp_replace(
         u, r"(?i)^(https?://[^/:?#]+):(?:80|443)(?=[/?]|$)", r"$1"
     )
-    # tracking params (leading ? or & + name=value); then fix separators
+    # tracking params, in three positional rules, applied ONLY when the
+    # url has a query ('?') — so a literal '&' in a query-less PATH is
+    # never rewritten:
+    #   1. '&name=value'  (non-leading, global)  → drop;
+    #   2. '?name=value&' (leading, more follow) → '?';
+    #   3. '?name=value'  at end                 → drop.
+    # rule 1 leaves at most ONE leading tracking param for rules 2-3.
+    # (Known pathological case, documented: a PATH segment that literally
+    # spells '&utm_...=...' before the '?' is also stripped.)
     params = "|".join(TRACKING_PARAMS)
-    u = F.regexp_replace(u, rf"[?&](?:{params})=[^&#]*", "")
-    # a surviving '&...' that lost its '?' predecessor becomes '?...'
-    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
-    # trailing '?' with no params, trailing '/' on a non-root path
+    stripped = F.regexp_replace(u, rf"&(?:{params})=[^&#]*", "")
+    stripped = F.regexp_replace(stripped, rf"\?(?:{params})=[^&#]*&", "?")
+    stripped = F.regexp_replace(stripped, rf"\?(?:{params})=[^&#]*$", "")
+    u = F.when(u.contains("?"), stripped).otherwise(u)
+    # trailing '?' with no params
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"(?i)(https?://[^/?#]+/.+?)/+(\?|$)", r"$1$2")
     # lowercase scheme+host only (path case is significant)

@@ -165,3 +165,13 @@ def test_fhir_compliance_semantics(spark):
     assert out.score == round(2 / 6, 2)
     # present counts per row (of 5 mapped fields): 4,3,4,4,4,1
     assert out.completeness == round((4 + 3 + 4 + 4 + 4 + 1) / (5 * 6), 4)
+
+
+def test_slugify_columns_collision_raises(spark):
+    import pytest as _pytest
+
+    from packs_spark.functions.text import slugify_columns
+
+    df = spark.createDataFrame([(1, 2)], ["a b", "a  b"])
+    with _pytest.raises(ValueError, match="collide"):
+        slugify_columns(df)

@@ -219,3 +219,9 @@ def test_remaining_pack_adapters(spark, tmp_path):
                             "patterns": {"mail": r"[^@]+@[^@]+\.[a-z]+"}}})
     m = {r.key: r.value for r in out["metrics"].collect()}
     assert m["total_records"] == "4" and m["valid_records"] == "3"
+
+
+def test_numeric_validation_no_rules_is_empty(spark, csv_source):
+    out = run_pack(spark, "numeric_validation", csv_source)
+    assert out["metrics"].count() == 0
+    assert out["recommendations"].count() == 0

@@ -237,6 +237,14 @@ def test_canonical_url():
         "https://Example.com/Path": "https://example.com/Path",
         "http://example.com:8080/keepport": "http://example.com:8080/keepport",
         "http://example.com/exact?keep=1": "http://example.com/exact?keep=1",
+        # literal '&' in a query-less path must survive untouched
+        "http://example.com/a&b": "http://example.com/a&b",
+        "http://example.com/x&y?q=1": "http://example.com/x&y?q=1",
+        # consecutive tracking params, leading and trailing positions
+        "http://example.com/a?utm_source=1&utm_medium=2&id=3":
+            "http://example.com/a?id=3",
+        "http://example.com/a?x=1&utm_source=1&utm_medium=2":
+            "http://example.com/a?x=1",
     }
     from packs_spark.session import get_spark
 

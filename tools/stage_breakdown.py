@@ -139,8 +139,14 @@ def main() -> None:
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
                "--leg", str(cpus)]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        legs[cpus] = json.loads(line)
+        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not json_lines:
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(
+                f"leg local[{cpus}] failed (rc={out.returncode}, "
+                f"{len(json_lines)} json lines) — stderr above"
+            )
+        legs[cpus] = json.loads(json_lines[-1])
         print(f"local[{cpus}]: wall {legs[cpus]['wall_sec']}s, "
               f"task-time {legs[cpus]['total_task_time_ms'] / 1000:.1f}s",
               file=sys.stderr)
