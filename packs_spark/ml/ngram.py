@@ -103,10 +103,11 @@ def score_batch(
     if len(codes) == 0:
         return np.zeros((L, n_docs), dtype=np.float64), np.zeros(n_docs, dtype=np.int64)
     scores = np.empty((L, n_docs), dtype=np.float64)
-    # gather from a float64 copy of the (tiny, 27^3-entry) tables so the
+    # gather from a float64 view of the (tiny, 27^3-entry) tables so the
     # segment sums accumulate in float64 — batch-size-independent to 1e-9
-    # and bit-compatible with a per-document python-float loop
-    tables64 = tables.astype(np.float64)
+    # and bit-compatible with a per-document python-float loop.  asarray
+    # is a no-op when the broadcast already carries float64 tables.
+    tables64 = np.asarray(tables, dtype=np.float64)
     for li in range(L):
         vals = np.where(valid, tables64[li][safe_codes], 0.0)
         scores[li] = np.add.reduceat(vals, boundaries)

@@ -162,9 +162,12 @@ def make_enrich_udf(spark: SparkSession, langid_model=None, ppl_model=None):
     # one broadcast: langid tables + perplexity table stacked, so the UDF
     # scores all of them in a single normalize+codes pass (ml.ngram.
     # fused_predict)
+    # broadcast float64: score_batch accumulates in float64 and asarray's
+    # the tables — shipping them as float64 once (still <2 MB) makes that
+    # a no-op per Arrow batch instead of a copy
     stacked = np.concatenate(
         [langid_model.tables, ppl_model.table[None, :]], axis=0
-    )
+    ).astype(np.float64)
     bc = spark.sparkContext.broadcast((stacked, list(langid_model.langs)))
 
     schema = T.StructType(
