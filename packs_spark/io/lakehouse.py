@@ -171,6 +171,63 @@ class CheckpointedWriter:
         stats: dict = {"skipped": self.n_buckets - len(pending), "written": 0}
         if not pending:
             return stats
+        self._acquire_lock()
+        try:
+            return self._write_pending(df, pending, stats, wave_size,
+                                       on_wave, assume_placed)
+        finally:
+            self._release_lock()
+
+    # writer lock: two resumable runs racing on one output root would
+    # interleave staged files and commit markers; the loser must fail
+    # FAST with a clear message, not corrupt the table.  The lock file
+    # carries (pid, heartbeat); a lock whose heartbeat is older than
+    # ``stale_after`` seconds belongs to a dead run and is taken over.
+    LOCK_STALE_AFTER = 3600.0
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self._progress_path, "_writer.lock")
+
+    def _acquire_lock(self) -> None:
+        payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
+        try:
+            fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return
+        except FileExistsError:
+            pass
+        try:
+            held = json.load(open(self._lock_path))
+        except (json.JSONDecodeError, OSError):
+            held = {"pid": "?", "ts": 0}
+        if time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER:
+            raise RuntimeError(
+                f"another writer (pid {held.get('pid')}) holds the lock on "
+                f"{self.base_path} — concurrent resumable writes to one "
+                "output root would corrupt the table; wait for it or remove "
+                f"{self._lock_path} if that run is known dead"
+            )
+        # stale: the previous run died without releasing — take over
+        with open(self._lock_path, "w") as f:
+            f.write(payload)
+
+    def _release_lock(self) -> None:
+        try:
+            os.remove(self._lock_path)
+        except FileNotFoundError:  # pragma: no cover
+            pass
+
+    def _write_pending(
+        self,
+        df: DataFrame,
+        pending: list[int],
+        stats: dict,
+        wave_size: int | None,
+        on_wave,
+        assume_placed: bool,
+    ) -> dict:
         if not assume_placed:
             from packs_spark.pipeline.partitioning import repartition_by_bucket
 

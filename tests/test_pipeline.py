@@ -268,3 +268,35 @@ def test_canonical_url():
     vdf = spark.createDataFrame([(u,) for u in variants], ["u"])
     canon = vdf.select(canonical_url(F.col("u")).alias("c")).distinct()
     assert canon.count() == 1
+
+
+def test_lakehouse_writer_lock(spark, tmp_path):
+    """A second resumable writer on the same output root must fail fast
+    with a clear message while the lock is held, and a STALE lock (dead
+    run) must be taken over."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from packs_spark.io.lakehouse import CheckpointedWriter
+
+    out = str(tmp_path / "tbl")
+    w = CheckpointedWriter(out, n_buckets=4)
+    w._acquire_lock()
+    try:
+        w2 = CheckpointedWriter(out, n_buckets=4)
+        with _pytest.raises(RuntimeError, match="another writer"):
+            w2._acquire_lock()
+    finally:
+        w._release_lock()
+
+    # stale lock: heartbeat older than the threshold is taken over
+    with open(w._lock_path, "w") as f:
+        json.dump({"pid": 999999, "ts": time.time() - 7200}, f)
+    w2 = CheckpointedWriter(out, n_buckets=4)
+    w2._acquire_lock()  # must NOT raise
+    assert os.path.exists(w2._lock_path)
+    w2._release_lock()
+    assert not os.path.exists(w2._lock_path)
