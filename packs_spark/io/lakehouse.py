@@ -202,7 +202,19 @@ class CheckpointedWriter:
             held = json.load(open(self._lock_path))
         except (json.JSONDecodeError, OSError):
             held = {"pid": "?", "ts": 0}
-        if time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER:
+        # pid-liveness first: a crash-killed run must be resumable
+        # IMMEDIATELY, not after the heartbeat ages out (the lock file is
+        # driver-local, so the pid namespace is ours); the heartbeat age
+        # is the fallback when the pid cannot be probed.
+        holder_alive = False
+        try:
+            os.kill(int(held.get("pid", -1)), 0)
+            holder_alive = True
+        except (ProcessLookupError, ValueError, TypeError):
+            holder_alive = False
+        except PermissionError:  # pragma: no cover - exists, other user
+            holder_alive = True
+        if holder_alive and time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER:
             raise RuntimeError(
                 f"another writer (pid {held.get('pid')}) holds the lock on "
                 f"{self.base_path} — concurrent resumable writes to one "

@@ -292,11 +292,19 @@ def test_lakehouse_writer_lock(spark, tmp_path):
     finally:
         w._release_lock()
 
-    # stale lock: heartbeat older than the threshold is taken over
+    # dead-pid lock: a crash-killed run must be resumable IMMEDIATELY
+    # even with a fresh heartbeat (pid 999999 does not exist)
     with open(w._lock_path, "w") as f:
-        json.dump({"pid": 999999, "ts": time.time() - 7200}, f)
+        json.dump({"pid": 999999, "ts": time.time()}, f)
     w2 = CheckpointedWriter(out, n_buckets=4)
     w2._acquire_lock()  # must NOT raise
     assert os.path.exists(w2._lock_path)
     w2._release_lock()
     assert not os.path.exists(w2._lock_path)
+
+    # live pid but ancient heartbeat: also taken over (hung run)
+    with open(w._lock_path, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": time.time() - 7200}, f)
+    w3 = CheckpointedWriter(out, n_buckets=4)
+    w3._acquire_lock()
+    w3._release_lock()
