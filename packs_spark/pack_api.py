@@ -136,6 +136,7 @@ def run_pack(
         per_col = df.agg(
             F.count(F.lit(1)).alias("__t"),
             *[F.count(F.col(c)).alias(f"nn_{c}") for c in cols],
+            *[F.countDistinct(F.col(c)).alias(f"nd_{c}") for c in cols],
         ).select(
             F.inline(
                 F.array(
@@ -148,6 +149,13 @@ def run_pack(
                                 / F.greatest(F.col("__t"), F.lit(1)),
                                 2,
                             ).alias("completeness_score"),
+                            # ydata report keys the reference re-emits
+                            F.col(f"nd_{c}").alias("n_distinct"),
+                            F.round(
+                                F.col(f"nd_{c}")
+                                / F.greatest(F.col(f"nn_{c}"), F.lit(1)),
+                                4,
+                            ).alias("p_distinct"),
                         )
                         for c in cols
                     ]

@@ -58,6 +58,9 @@ def test_profiling_pack_streams(spark, csv_source):
     # reference key + round-2 formula (profiling_pack/main.py:306-323)
     assert m[("completeness_score", "column", "comment")] == "0.8"
     assert m[("completeness_score", "column", "name")] == "1.0"
+    # ydata-report keys (n_distinct / p_distinct over non-null values)
+    assert m[("n_distinct", "column", "name")] == "4"  # alice dup'd
+    assert m[("p_distinct", "column", "name")] == "0.8"
     assert out["recommendations"].count() == 0
 
 
