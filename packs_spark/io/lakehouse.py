@@ -225,6 +225,12 @@ class CheckpointedWriter:
         with open(self._lock_path, "w") as f:
             f.write(payload)
 
+    def _heartbeat(self) -> None:
+        """Refresh the lock heartbeat (called per wave) so a healthy
+        long run is never mistaken for a hung one and taken over."""
+        with open(self._lock_path, "w") as f:
+            f.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
+
     def _release_lock(self) -> None:
         try:
             os.remove(self._lock_path)
@@ -268,6 +274,7 @@ class CheckpointedWriter:
                     },
                 )
             stats["written"] += len(wave)
+            self._heartbeat()
             if on_wave:
                 on_wave(wave)
         return stats
