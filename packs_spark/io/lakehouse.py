@@ -189,41 +189,55 @@ class CheckpointedWriter:
     def _lock_path(self) -> str:
         return os.path.join(self._progress_path, "_writer.lock")
 
-    def _acquire_lock(self) -> None:
+    def _try_create_lock(self) -> bool:
         payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
         try:
             fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
-            return
+            return True
         except FileExistsError:
-            pass
-        try:
-            held = json.load(open(self._lock_path))
-        except (json.JSONDecodeError, OSError):
-            held = {"pid": "?", "ts": 0}
-        # pid-liveness first: a crash-killed run must be resumable
-        # IMMEDIATELY, not after the heartbeat ages out (the lock file is
-        # driver-local, so the pid namespace is ours); the heartbeat age
-        # is the fallback when the pid cannot be probed.
-        holder_alive = False
-        try:
-            os.kill(int(held.get("pid", -1)), 0)
-            holder_alive = True
-        except (ProcessLookupError, ValueError, TypeError):
+            return False
+
+    def _acquire_lock(self, attempts: int = 3) -> None:
+        for _ in range(attempts):
+            if self._try_create_lock():
+                return
+            try:
+                held = json.load(open(self._lock_path))
+            except (json.JSONDecodeError, OSError, FileNotFoundError):
+                held = {"pid": "?", "ts": 0}
+            # pid-liveness first: a crash-killed run must be resumable
+            # IMMEDIATELY, not after the heartbeat ages out (the lock file
+            # is driver-local, so the pid namespace is ours); heartbeat
+            # age is the fallback for a live-but-hung holder.
             holder_alive = False
-        except PermissionError:  # pragma: no cover - exists, other user
-            holder_alive = True
-        if holder_alive and time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER:
-            raise RuntimeError(
-                f"another writer (pid {held.get('pid')}) holds the lock on "
-                f"{self.base_path} — concurrent resumable writes to one "
-                "output root would corrupt the table; wait for it or remove "
-                f"{self._lock_path} if that run is known dead"
-            )
-        # stale: the previous run died without releasing — take over
-        with open(self._lock_path, "w") as f:
-            f.write(payload)
+            try:
+                os.kill(int(held.get("pid", -1)), 0)
+                holder_alive = True
+            except (ProcessLookupError, ValueError, TypeError):
+                holder_alive = False
+            except PermissionError:  # pragma: no cover - exists, other user
+                holder_alive = True
+            fresh = time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER
+            if holder_alive and fresh:
+                raise RuntimeError(
+                    f"another writer (pid {held.get('pid')}) holds the lock "
+                    f"on {self.base_path} — concurrent resumable writes to "
+                    "one output root would corrupt the table; wait for it "
+                    f"or remove {self._lock_path} if that run is known dead"
+                )
+            # stale: unlink THEN retry the atomic O_EXCL create — two
+            # racing takeovers cannot both win (a plain overwrite could
+            # let both through)
+            try:
+                os.remove(self._lock_path)
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(
+            f"could not acquire writer lock at {self._lock_path} after "
+            f"{attempts} takeover attempts (heavy lock contention)"
+        )
 
     def _heartbeat(self) -> None:
         """Refresh the lock heartbeat (called per wave) so a healthy
@@ -232,9 +246,13 @@ class CheckpointedWriter:
             f.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
 
     def _release_lock(self) -> None:
+        # only delete a lock we still own — if a (mistaken or raced)
+        # takeover replaced it, deleting would strip the NEW holder
         try:
-            os.remove(self._lock_path)
-        except FileNotFoundError:  # pragma: no cover
+            held = json.load(open(self._lock_path))
+            if held.get("pid") == os.getpid():
+                os.remove(self._lock_path)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
             pass
 
     def _write_pending(

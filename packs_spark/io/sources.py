@@ -68,20 +68,40 @@ def read_csv(spark: SparkSession, path: str, skiprows: int = 0) -> DataFrame:
     )
     if skiprows:
         # Spark's CSV reader has no skipRows; drop the first N physical
-        # lines from PARTITION 0 ONLY.  textFile assigns lines to splits by
-        # byte range, so the leading skip window always lives in the first
-        # partition — no global sort, no exchange, every other partition
-        # streams through untouched.  (The lines do take one Python pass
-        # for the islice; bounded and shuffle-free, unlike the previous
-        # orderBy(monotonically_increasing_id()) plan which sorted the
-        # whole file.)
+        # lines by byte-range position.  textFile assigns lines to splits
+        # by byte range, so the skip window occupies a PREFIX of the
+        # partition sequence — but it may span MORE than partition 0 when
+        # the preamble lines are long relative to the split size.  Count
+        # lines of prefix partitions incrementally (runJob on exactly the
+        # partitions needed — the tail of the file is never read twice)
+        # and skip per-partition.  No global sort, no exchange.
         from itertools import islice
 
-        lines = spark.sparkContext.textFile(path)
-        kept = lines.mapPartitionsWithIndex(
-            lambda idx, it: islice(it, skiprows, None) if idx == 0 else it,
-            preservesPartitioning=True,
-        )
+        sc = spark.sparkContext
+        lines = sc.textFile(path)
+        # per-partition skip budget: walk prefix partitions until the
+        # cumulative line count covers the window
+        skip_by_partition: dict[int, int] = {}
+        remaining = skiprows
+        for p in range(lines.getNumPartitions()):
+            if remaining <= 0:
+                break
+            (cnt,) = sc.runJob(
+                lines, lambda it: [sum(1 for _ in it)], [p]
+            )
+            take = min(remaining, cnt)
+            skip_by_partition[p] = take
+            remaining -= take
+        if remaining > 0:
+            raise ValueError(
+                f"skiprows={skiprows} exceeds the file's line count"
+            )
+
+        def drop(idx, it, skips=skip_by_partition):
+            n = skips.get(idx, 0)
+            return islice(it, n, None) if n else it
+
+        kept = lines.mapPartitionsWithIndex(drop, preservesPartitioning=True)
         return reader.csv(kept)
     return reader.csv(path)
 

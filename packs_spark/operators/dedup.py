@@ -92,7 +92,6 @@ def word_shingles(c: F.Column, k: int = 3) -> F.Column:
 
 def hot_shingles(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     max_df: int | None = 1000,
@@ -145,7 +144,7 @@ def jaccard_pairs(
         # for the session lifetime) and no eager count (constructing the
         # pair PLAN must not run jobs).  Dropped-shingle stats on demand:
         #   hot_shingles(df, ...).count()
-        hot = hot_shingles(df, id_col, text_col, k=k, max_df=max_df)
+        hot = hot_shingles(df, text_col=text_col, k=k, max_df=max_df)
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
     # per-doc set sizes from the SAME (capped) shingle space; joined at
     # pair granularity (one row per doc — a dim-sized join, not a second

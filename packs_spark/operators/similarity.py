@@ -291,7 +291,12 @@ class IvfIndex:
         nprobe: int = 4,
     ) -> DataFrame:
         spark = queries.sparkSession
-        q = assign_cells(
+        # collect the (query_id, cells) assignment ONCE — queries are the
+        # small side of an ANN search by contract, and ids+cell-ids are a
+        # few bytes per query (vectors stay distributed, joined back by
+        # id below).  Deriving the probe set AND the join input from this
+        # one collect avoids executing the centroid-scoring plan twice.
+        assigned = assign_cells(
             queries.select(
                 F.col(query_id_col).alias("query_id"),
                 F.col(vec_col).alias("qv"),
@@ -299,10 +304,23 @@ class IvfIndex:
             self.centroids,
             "qv",
             nprobe=nprobe,
-        ).select("query_id", "qv", F.explode("cell").alias("cell"))
-        # the probed cell set is ≤ n_cells ids — collect it and prune the
-        # partitioned scan with a literal filter (directories never read)
-        probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+        ).select("query_id", "cell").collect()
+        pairs = [
+            (r["query_id"], int(c)) for r in assigned for c in r["cell"]
+        ]
+        probed = sorted({c for _, c in pairs})
+        qid_type = dict(queries.dtypes)[query_id_col]
+        q = spark.createDataFrame(
+            pairs, f"query_id {qid_type}, cell int"
+        ).join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            ),
+            "query_id",
+        )
+        # the probed cell set is ≤ n_cells ids — prune the partitioned
+        # scan with a literal filter (directories never read)
         corpus = spark.read.parquet(f"{self.path}/cells").where(
             F.col("cell").isin(probed)
         )

@@ -181,13 +181,20 @@ def run_pack(
         kc = F.struct(*[F.col(c) for c in keys])
         # reference key names and formulas verbatim
         # (duplicates_finder_pack/main.py:150-173)
+        # greatest(n, 1) guards the empty source: 0/0 would make score
+        # NULL and the < 0.9 comparison below a TypeError
+        safe_n = F.greatest(F.col("__n"), F.lit(1))
         wide = df.agg(
             F.count(F.lit(1)).alias("__n"), F.countDistinct(kc).alias("__d")
         ).select(
-            F.round(F.col("__d") / F.col("__n"), 2).alias("score"),
+            F.when(F.col("__n") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("__d") / safe_n, 2))
+            .alias("score"),
             (F.col("__n") - F.col("__d")).alias("duplicates"),
             F.col("__d").alias("distinct_count"),
-            F.round(F.col("__d") / F.col("__n"), 4).alias("distinct_percent"),
+            F.when(F.col("__n") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("__d") / safe_n, 4))
+            .alias("distinct_percent"),
         )
         # ONE scan: collect the 4-value row, derive metrics AND the
         # recommendation from it (re-aggregating for the metric stream
@@ -481,12 +488,17 @@ def run_pack(
             raise ValueError("referential_integrity needs pack_conf.job.parent")
         parent = load_source(spark, parent_conf)
         ck, pk = job["child_key"], job["parent_key"]
-        joined = df.join(
-            F.broadcast(parent.select(pk).dropDuplicates()),
-            df[ck] == F.col(pk),
-            "left",
+        # alias the parent key: with ck == pk (the common FK config) an
+        # unaliased join raises AMBIGUOUS_REFERENCE
+        pkeys = (
+            parent.select(F.col(pk).alias("__parent_key")).dropDuplicates()
         )
-        orphan = (F.col(ck).isNotNull() & F.col(pk).isNull()).cast("long")
+        joined = df.join(
+            F.broadcast(pkeys), df[ck] == F.col("__parent_key"), "left"
+        )
+        orphan = (
+            df[ck].isNotNull() & F.col("__parent_key").isNull()
+        ).cast("long")
         r = joined.agg(
             F.sum(orphan).alias("orphans"), F.count(F.lit(1)).alias("n")
         ).first()

@@ -152,10 +152,10 @@ def canonical_url(c: Column) -> Column:
     u = c
     # fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # default ports
-    u = F.regexp_replace(
-        u, r"(?i)^(https?://[^/:?#]+):(?:80|443)(?=[/?]|$)", r"$1"
-    )
+    # default ports — paired with their scheme (https://host:80 is a
+    # DIFFERENT resource from https://host and must not collapse)
+    u = F.regexp_replace(u, r"(?i)^(http://[^/:?#]+):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"(?i)^(https://[^/:?#]+):443(?=[/?]|$)", r"$1")
     # tracking params, in three positional rules, applied ONLY when the
     # url has a query ('?') — so a literal '&' in a query-less PATH is
     # never rewritten:

@@ -173,7 +173,6 @@ def stream_dedup_exact(
     output_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
-    id_cols: tuple[str, ...] = ("url",),
     watermark: str = "1 hour",
     ts_col: str = "warc_ts",
     schema=None,

@@ -228,3 +228,31 @@ def test_numeric_validation_no_rules_is_empty(spark, csv_source):
     out = run_pack(spark, "numeric_validation", csv_source)
     assert out["metrics"].count() == 0
     assert out["recommendations"].count() == 0
+
+
+def test_referential_integrity_same_key_name(spark, tmp_path):
+    """child and parent FK columns sharing one name — the common real
+    config — must not raise AMBIGUOUS_REFERENCE."""
+    c = tmp_path / "child.csv"
+    p = tmp_path / "parent.csv"
+    c.write_text("cust_id,v\n1,a\n2,b\n9,c\n")
+    p.write_text("cust_id\n1\n2\n")
+    out = run_pack(
+        spark,
+        "referential_integrity",
+        {"type": "csv", "path": str(c), "name": "child"},
+        {"job": {"parent": {"type": "csv", "path": str(p)},
+                 "child_key": "cust_id", "parent_key": "cust_id"}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["orphan_count"] == "1" and m["child_count"] == "3"
+
+
+def test_duplicates_empty_source(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("a,b\n")
+    out = run_pack(spark, "duplicates", {"type": "csv", "path": str(p),
+                                         "name": "e"})
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["score"] == "1.0" and m["duplicates"] == "0"
+    assert out["recommendations"].count() == 0

@@ -308,3 +308,21 @@ def test_lakehouse_writer_lock(spark, tmp_path):
     w3 = CheckpointedWriter(out, n_buckets=4)
     w3._acquire_lock()
     w3._release_lock()
+
+
+def test_canonical_url_port_scheme_pairing():
+    from packs_spark.pipeline.rules import canonical_url
+    from packs_spark.session import get_spark
+
+    spark = get_spark("canon_port_test")
+    cases = {
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:443/a": "https://example.com/a",
+        # cross-scheme non-default ports are DISTINCT resources
+        "https://example.com:80/a": "https://example.com:80/a",
+        "http://example.com:443/a": "http://example.com:443/a",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {r.u: r.c for r in df.select(
+        "u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases

@@ -163,3 +163,16 @@ def test_profile_report_html_and_json(spark, tmp_path):
     blob = json.load(open(jp))
     assert blob["columns"][0]["column"] == "c1"
     assert blob["table <stats>"][0]["n_rows"] == 123
+
+
+def test_csv_skiprows_spanning_multiple_partitions(spark, tmp_path):
+    """The reviewer's repro: long preamble lines push the skip window past
+    textFile's first byte split — every junk line must still be skipped."""
+    p = tmp_path / "longpre.csv"
+    junk = "".join(f"{'J' * 300}\n" for _ in range(4))
+    body = "".join(f"{i},v{i}\n" for i in range(10))
+    p.write_text(junk + "id,val\n" + body)
+    df = read_csv(spark, str(p), skiprows=4)
+    assert df.count() == 10
+    assert set(df.columns) == {"id", "val"}
+    assert {r.id for r in df.collect()} == set(range(10))
