@@ -44,7 +44,7 @@ HEADLINE = [
     "textstats_documents",
     "webtext_quality_filter",
     # round-2 operators
-    "pii_rows_documents",
+    "conversions_validity_orders",
     "fhir_compliance_orders",
 ]
 

@@ -199,41 +199,71 @@ class CheckpointedWriter:
         except FileExistsError:
             return False
 
+    def _read_lock(self) -> dict:
+        try:
+            with open(self._lock_path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError, FileNotFoundError):
+            return {"pid": "?", "ts": 0}
+
+    def _lock_is_stale(self, held: dict) -> bool:
+        # pid-liveness first: a crash-killed run must be resumable
+        # IMMEDIATELY, not after the heartbeat ages out (the lock file
+        # is driver-local, so the pid namespace is ours); heartbeat
+        # age is the fallback for a live-but-hung holder.
+        holder_alive = False
+        try:
+            os.kill(int(held.get("pid", -1)), 0)
+            holder_alive = True
+        except (ProcessLookupError, ValueError, TypeError):
+            holder_alive = False
+        except PermissionError:  # pragma: no cover - exists, other user
+            holder_alive = True
+        fresh = time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER
+        return not (holder_alive and fresh)
+
     def _acquire_lock(self, attempts: int = 3) -> None:
+        guard = self._lock_path + ".takeover"
         for _ in range(attempts):
             if self._try_create_lock():
                 return
-            try:
-                held = json.load(open(self._lock_path))
-            except (json.JSONDecodeError, OSError, FileNotFoundError):
-                held = {"pid": "?", "ts": 0}
-            # pid-liveness first: a crash-killed run must be resumable
-            # IMMEDIATELY, not after the heartbeat ages out (the lock file
-            # is driver-local, so the pid namespace is ours); heartbeat
-            # age is the fallback for a live-but-hung holder.
-            holder_alive = False
-            try:
-                os.kill(int(held.get("pid", -1)), 0)
-                holder_alive = True
-            except (ProcessLookupError, ValueError, TypeError):
-                holder_alive = False
-            except PermissionError:  # pragma: no cover - exists, other user
-                holder_alive = True
-            fresh = time.time() - held.get("ts", 0) < self.LOCK_STALE_AFTER
-            if holder_alive and fresh:
+            held = self._read_lock()
+            if not self._lock_is_stale(held):
                 raise RuntimeError(
                     f"another writer (pid {held.get('pid')}) holds the lock "
                     f"on {self.base_path} — concurrent resumable writes to "
                     "one output root would corrupt the table; wait for it "
                     f"or remove {self._lock_path} if that run is known dead"
                 )
-            # stale: unlink THEN retry the atomic O_EXCL create — two
-            # racing takeovers cannot both win (a plain overwrite could
-            # let both through)
-            try:
-                os.remove(self._lock_path)
-            except FileNotFoundError:
+            # Stale takeover must be serialized, or two racers that both
+            # read the stale lock can each unlink-then-create and one ends
+            # up deleting the other's *fresh* lock (TOCTOU).  A guard file
+            # (O_EXCL) makes removal + re-create a critical section: only
+            # the guard holder may unlink the lock, and it re-verifies
+            # staleness *inside* the section before doing so.
+            try:  # a guard left by a crashed takeover ages out in 60 s
+                if time.time() - os.path.getmtime(guard) > 60.0:
+                    os.remove(guard)
+            except OSError:
                 pass
+            try:
+                os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                time.sleep(0.05)  # another racer is mid-takeover; re-read
+                continue
+            try:
+                if self._lock_is_stale(self._read_lock()):
+                    try:
+                        os.remove(self._lock_path)
+                    except FileNotFoundError:
+                        pass
+                    if self._try_create_lock():
+                        return
+            finally:
+                try:
+                    os.remove(guard)
+                except OSError:
+                    pass
         raise RuntimeError(
             f"could not acquire writer lock at {self._lock_path} after "
             f"{attempts} takeover attempts (heavy lock contention)"
@@ -241,9 +271,15 @@ class CheckpointedWriter:
 
     def _heartbeat(self) -> None:
         """Refresh the lock heartbeat (called per wave) so a healthy
-        long run is never mistaken for a hung one and taken over."""
-        with open(self._lock_path, "w") as f:
+        long run is never mistaken for a hung one and taken over.
+        Write-to-temp + ``os.replace`` keeps the refresh atomic: a
+        truncating ``open('w')`` would expose an empty/partial file to a
+        concurrent ``_acquire_lock`` read, which would parse-fail to
+        ts=0, judge us stale, and take over while we are alive."""
+        tmp = f"{self._lock_path}.hb.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
+        os.replace(tmp, self._lock_path)
 
     def _release_lock(self) -> None:
         # only delete a lock we still own — if a (mistaken or raced)

@@ -66,7 +66,15 @@ def _kth_nn_dist_np(X: np.ndarray, Y: np.ndarray, k: int) -> np.ndarray:
         cand = d2 if best is None else np.concatenate([best, d2], axis=1)
         kk = min(k, cand.shape[1])
         best = np.partition(cand, kk - 1, axis=1)[:, :kk]
-    assert best is not None and best.shape[1] >= k
+    # knn_scores validates len(fit) > k up front; this backstop must
+    # survive ``python -O`` (an assert would vanish) and name the counts
+    # instead of dying as an opaque AssertionError inside an executor task
+    if best is None or best.shape[1] < k:
+        have = 0 if best is None else best.shape[1]
+        raise ValueError(
+            f"KNN fit sample provides only {have} candidate neighbors, "
+            f"need k={k} — pass a fit sample with more than k rows"
+        )
     return np.sqrt(best.max(axis=1))
 
 

@@ -24,9 +24,14 @@ def summary(
 ) -> DataFrame:
     """Per-column text metrics, one output row per column.
 
-    Output: (column, non_null, min_length, max_length, mean_length,
-    below_min, above_max, in_range_percent, empty_count, whitespace_count,
-    placeholder_count, surrounded_count, min_word_count, max_word_count)
+    Output: (column, non_null, min_length, max_length, total_length,
+    mean_length, below_min, above_max, in_range_count, in_range_percent,
+    empty_count, whitespace_count, placeholder_count, surrounded_count,
+    min_word_count, max_word_count).  ``total_length``/``in_range_count``
+    are the exact BIGINT numerators behind the two derived doubles —
+    cross-engine comparisons should use those (two rounds of driver
+    hash-mismatch traced to float round()-tie behavior differing between
+    DuckDB builds; integers cannot diverge).
     """
     aggs = []
     for col in columns:
@@ -54,6 +59,7 @@ def summary(
             F.count(c).alias(f"{col}__non_null"),
             F.min(ln).alias(f"{col}__min_length"),
             F.max(ln).alias(f"{col}__max_length"),
+            F.coalesce(F.sum(ln), F.lit(0)).cast("long").alias(f"{col}__total_length"),
             mean_ln.alias(f"{col}__mean_length"),
             below.alias(f"{col}__below_min"),
             above.alias(f"{col}__above_max"),
@@ -83,11 +89,15 @@ def summary(
                 nn.alias("non_null"),
                 F.coalesce(F.col(f"{col}__min_length"), F.lit(0)).alias("min_length"),
                 F.coalesce(F.col(f"{col}__max_length"), F.lit(0)).alias("max_length"),
+                F.col(f"{col}__total_length").alias("total_length"),
                 F.coalesce(F.col(f"{col}__mean_length"), F.lit(0.0)).alias(
                     "mean_length"
                 ),
                 F.col(f"{col}__below_min").alias("below_min"),
                 F.col(f"{col}__above_max").alias("above_max"),
+                (nn - F.col(f"{col}__below_min") - F.col(f"{col}__above_max")).alias(
+                    "in_range_count"
+                ),
                 in_range.alias("in_range_percent"),
                 F.col(f"{col}__empty_count").alias("empty_count"),
                 F.col(f"{col}__whitespace_count").alias("whitespace_count"),
@@ -126,9 +136,12 @@ def oracle_sql_for(
     columns: list[str],
     min_length: int | None = None,
     max_length: int | None = None,
+    floats: bool = True,
 ) -> str:
     """DuckDB SQL computing exactly :func:`summary` (one UNION ALL branch per
-    column — the oracle need not be single-pass)."""
+    column — the oracle need not be single-pass).  ``floats=False`` omits the
+    two derived double columns (mean_length, in_range_percent) so a hash
+    comparison rests on integers only — the driver-gate configuration."""
     branches = []
     for col in columns:
         below = (
@@ -145,6 +158,21 @@ def oracle_sql_for(
             f"CASE WHEN trim({col}) = '' THEN 0 "
             f"ELSE length(regexp_split_to_array(trim({col}), '\\s+')) END"
         )
+        mean_sql = (
+            f"""
+  coalesce(round(CAST(sum(CAST(length({col}) AS DECIMAL(28,4))) AS DOUBLE)
+                 / count({col}), 2), 0.0) AS mean_length,"""
+            if floats
+            else ""
+        )
+        in_range_pct_sql = (
+            f"""
+  CASE WHEN count({col}) = 0 THEN 1.0
+       ELSE round((count({col}) - {below} - {above}) * 1.0 / count({col}), 4)
+  END AS in_range_percent,"""
+            if floats
+            else ""
+        )
         branches.append(
             f"""
 SELECT
@@ -152,13 +180,10 @@ SELECT
   count({col}) AS non_null,
   coalesce(min(length({col})), 0) AS min_length,
   coalesce(max(length({col})), 0) AS max_length,
-  coalesce(round(CAST(sum(CAST(length({col}) AS DECIMAL(28,4))) AS DOUBLE)
-                 / count({col}), 2), 0.0) AS mean_length,
+  CAST(coalesce(sum(length({col})), 0) AS BIGINT) AS total_length,{mean_sql}
   CAST({below} AS BIGINT) AS below_min,
   CAST({above} AS BIGINT) AS above_max,
-  CASE WHEN count({col}) = 0 THEN 1.0
-       ELSE round((count({col}) - {below} - {above}) * 1.0 / count({col}), 4)
-  END AS in_range_percent,
+  CAST(count({col}) - {below} - {above} AS BIGINT) AS in_range_count,{in_range_pct_sql}
   coalesce(sum(CASE WHEN {col} = '' THEN 1 ELSE 0 END), 0) AS empty_count,
   coalesce(sum(CASE WHEN trim({col}) = '' AND {col} <> '' THEN 1 ELSE 0 END), 0) AS whitespace_count,
   coalesce(sum(CASE WHEN lower({col}) IN ({_PLACEHOLDER_SQL}) THEN 1 ELSE 0 END), 0) AS placeholder_count,

@@ -187,6 +187,8 @@ def run_pack(
         wide = df.agg(
             F.count(F.lit(1)).alias("__n"), F.countDistinct(kc).alias("__d")
         ).select(
+            F.col("__n"),
+            F.col("__d"),
             F.when(F.col("__n") == 0, F.lit(1.0))
             .otherwise(F.round(F.col("__d") / safe_n, 2))
             .alias("score"),
@@ -196,7 +198,7 @@ def run_pack(
             .otherwise(F.round(F.col("__d") / safe_n, 4))
             .alias("distinct_percent"),
         )
-        # ONE scan: collect the 4-value row, derive metrics AND the
+        # ONE scan: collect the row, derive metrics AND the
         # recommendation from it (re-aggregating for the metric stream
         # would scan the table twice)
         from packs_spark.io.envelope import metric_rows_to_df
@@ -208,8 +210,15 @@ def run_pack(
                       "distinct_percent")
         ]
         recs = []
-        if row.score < 0.9:  # reference threshold main.py:174-180
-            rate = 1.0 - row.distinct_percent
+        # threshold / level / message use the UNROUNDED ratio from __n/__d
+        # (the reference compares the raw score, duplicates_finder_pack/
+        # main.py:175) — gating on the 2-dp-rounded metric would skip the
+        # recommendation for true scores in [0.895, 0.9) and could flip
+        # the level at the 0.3/0.5 ladder boundaries; rounding is only
+        # for the emitted metric strings above.
+        raw_score = row["__d"] / row["__n"] if row["__n"] else 1.0
+        if raw_score < 0.9:  # reference threshold main.py:174-180
+            rate = 1.0 - raw_score
             recs.append(
                 (
                     f"dataset '{dataset}' has a duplication rate of "
@@ -505,7 +514,10 @@ def run_pack(
         rows = [
             ("orphan_count", str(r.orphans or 0), "dataset", dataset, None),
             ("child_count", str(r.n), "dataset", dataset, None),
-            ("orphan_ratio", str(round((r.orphans or 0) / r.n, 4)),
+            # empty child table → ratio 0.0, not ZeroDivisionError
+            # (mirrors the duplicates branch's n == 0 guard)
+            ("orphan_ratio",
+             str(round((r.orphans or 0) / r.n, 4) if r.n else 0.0),
              "dataset", dataset, None),
         ]
         return {

@@ -186,6 +186,13 @@ def stream_dedup_exact(
     The dedup key is md5(text) — 16 bytes of state per retained doc, the
     same key the batch tier groups on (operators/dedup.py exact tier), so
     batch backfill and streaming ingest agree on what is a duplicate.
+
+    NULL-text rows are NOT meaningful duplicates of each other, but
+    ``dropDuplicatesWithinWatermark`` treats NULL keys as equal and would
+    collapse every null-text row in the horizon to one survivor.  The key
+    is therefore made null-safe with a per-row uuid fallback, passing
+    null-text rows through untouched (the batch exact tier does the same
+    by grouping only non-null texts).
     """
     if schema is None:
         schema = (
@@ -193,8 +200,11 @@ def stream_dedup_exact(
             "text string, lang string"
         )
     src = spark.readStream.schema(schema).parquet(source_dir)
+    key = F.coalesce(
+        F.md5(F.col(text_col)), F.concat(F.lit("null-"), F.expr("uuid()"))
+    )
     deduped = (
-        src.withColumn("__h", F.md5(F.col(text_col)))
+        src.withColumn("__h", key)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")

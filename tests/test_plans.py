@@ -56,7 +56,7 @@ def test_topk_uses_window_group_limit(spark):
 
 def test_wide_aggregates_are_one_pass(spark):
     for name in ("completeness_customer", "text_validation_documents",
-                 "profiling_numeric_stats", "pii_rows_documents",
+                 "profiling_numeric_stats", "pii_scan_documents",
                  "fhir_compliance_orders"):
         plan = _plan(spark, name)
         n_scans = plan.count("Scan parquet")
