@@ -156,6 +156,7 @@ def psi_2sample(
     col: str,
     n_buckets: int = 10,
     eps: float = 1e-6,
+    exact: bool = True,
 ) -> DataFrame:
     """Population Stability Index between a reference sample (A) and a
     current sample (B): bucket by A's exact deciles, PSI = Σ (pa−pb)·ln(pa/pb)
@@ -166,18 +167,24 @@ def psi_2sample(
     `quantile_cont` use the same linear interpolation, but last-ulp
     differences at a bucket edge would otherwise flip counts).
 
-    Scale shape: one exact-percentile pass over A (sorted aggregation),
-    then ONE tagged groupBy pass over A∪B; the per-bucket table
-    (n_buckets rows) finishes on the driver.
+    Scale shape: one quantile pass over A for the edges, then ONE tagged
+    groupBy pass over A∪B; the per-bucket table (n_buckets rows)
+    finishes on the driver.  ``exact=True`` (oracle parity) computes the
+    edges with exact ``percentile`` — per-aggregation state proportional
+    to A's distinct values; the 100 TB path is ``exact=False``, which
+    uses the bounded-state binned-CDF quantiles of
+    operators/quantiles.py (PSI is itself a binned statistic, so
+    edge-level approximation error only nudges bucket boundaries).
     """
+    from packs_spark.operators.quantiles import quantile_values
+
     spark = df_a.sparkSession
     probs = [i / n_buckets for i in range(1, n_buckets)]
     a = df_a.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
     b = df_b.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
-    arr = ", ".join(str(p) for p in probs)
     edges = [
         round(float(e), 6)
-        for e in a.agg(F.expr(f"percentile(x, array({arr}))")).collect()[0][0]
+        for e in quantile_values(a, "x", probs, exact=exact)
     ]
     bucket = F.lit(n_buckets - 1)
     for i in range(n_buckets - 2, -1, -1):

@@ -1060,47 +1060,13 @@ FROM lineitem,
 """,
 )
 def q_outlier_iqr(spark, sf_dir):
+    # exact=True for oracle parity; the 100 TB path is the same operator
+    # with exact=False (binned-CDF quantiles, bounded state — see
+    # operators/quantiles.py and tests/test_quantiles.py plan assertions)
+    from packs_spark.operators.quantiles import iqr_summary
+
     df = load(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice"]
-
-    # exact quartiles for ALL columns in one scan, fences for all columns
-    # in a second scan — two jobs total regardless of column count
-    q = df.agg(
-        *[
-            e
-            for col in cols
-            for e in (
-                F.expr(f"percentile({col}, 0.25)").alias(f"q1_{col}"),
-                F.expr(f"percentile({col}, 0.75)").alias(f"q3_{col}"),
-            )
-        ]
-    ).collect()[0]
-
-    fences = {}
-    aggs = []
-    for col in cols:
-        q1, q3 = float(q[f"q1_{col}"]), float(q[f"q3_{col}"])
-        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
-        fences[col] = (q1, q3)
-        c = F.col(col)
-        aggs.append(
-            F.sum(((c < lo) | (c > hi)).cast("long")).alias(f"out_{col}")
-        )
-        aggs.append(F.count(c).alias(f"cnt_{col}"))
-    wide = df.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(col).alias("column"),
-            F.round(F.lit(fences[col][0]), 6).alias("q1"),
-            F.round(F.lit(fences[col][1]), 6).alias("q3"),
-            F.col(f"out_{col}").alias("outlier_count"),
-            F.round(
-                1.0 - F.col(f"out_{col}") / F.col(f"cnt_{col}"), 4
-            ).alias("normality_score"),
-        )
-        for col in cols
-    ]
-    return wide.select(F.inline(F.array(*structs)))
+    return iqr_summary(df, ["l_quantity", "l_extendedprice"], exact=True)
 
 
 # ---------------------------------------------------------------------------

