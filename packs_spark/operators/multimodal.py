@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The decode step needs codec libraries this container doesn't ship
-(Pillow/ffmpeg/soundfile), so decoding is STUBBED two ways:
+Decode tiers:
 
-* ``decode_image``/``decode_audio`` raise ``NotImplementedError`` with the
-  exact dependency to install — the real integration point;
-* ``fake_decode_features`` is a deterministic stand-in (byte histogram +
-  moments) so the Spark-side plumbing — schema, batch shapes, partitioning,
-  UDF signatures — is fully real and tested end-to-end.
+* PNG and WAV decode FOR REAL via pure-stdlib codecs
+  (operators/codecs.py — zlib chunk-inflate + scanline unfilter, and the
+  ``wave`` module); ``image_features``/``audio_features``/``resize_images``
+  run them inside ``mapInPandas``.
+* Pillow, when installed, takes over image decode (all formats, C-speed);
+  JPEG and compressed audio without Pillow/ffmpeg raise
+  ``NotImplementedError`` naming the dependency.
+* ``fake_decode_features`` remains the deterministic codec-free stand-in
+  (byte histogram) used by the oracle-gated metadata query, whose output
+  must be reproducible by DuckDB SQL — a real pixel decode never can be.
 
 At scale the pattern is the one that matters: binary payloads NEVER pass
 through Python row-at-a-time; ``mapInPandas`` streams Arrow record batches
@@ -49,18 +53,43 @@ def sniff_format(payload: bytes | None) -> str:
     return "unknown"
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real decode requires Pillow; see fake_decode_features for the
-    deterministic test stand-in."""
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Image bytes → (H, W, C) uint8 array.
+
+    Pillow when installed (all formats, C-speed); otherwise the
+    pure-stdlib PNG decoder in operators/codecs.py (full filter support,
+    8-bit non-interlaced).  JPEG without Pillow raises — a pure-python
+    baseline-JPEG decoder is deliberately out of scope."""
+    try:  # pragma: no cover - Pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    from packs_spark.operators.codecs import PNG_MAGIC, decode_png
+
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decode requires Pillow (PIL.Image.open on io.BytesIO); "
-        "not available in this container — wire it here"
+        f"decoding {sniff_format(payload)} images requires Pillow "
+        "(PIL.Image.open); only PNG decodes with the stdlib fallback"
     )
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Audio bytes → ((n_frames, channels) int32 array, sample_rate).
+
+    WAV/PCM decodes for real via the stdlib ``wave`` module
+    (operators/codecs.py); compressed codecs require soundfile/ffmpeg."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from packs_spark.operators.codecs import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
-        "audio decode requires soundfile/ffmpeg; wire it here"
+        f"decoding {sniff_format(payload)} audio requires soundfile/ffmpeg; "
+        "only RIFF/WAVE PCM decodes with the stdlib fallback"
     )
 
 
@@ -145,13 +174,21 @@ def resize_images(
     id_col: str = "url",
     target: tuple[int, int] = (64, 64),
 ) -> DataFrame:
-    """Image-resize plumbing: (id, width, height, resized binary) per row —
-    the 1→1 map shape of a Pillow thumbnail pass.  The stand-in treats the
-    payload as raw bytes and 'resizes' by deterministic strided sampling to
-    exactly width×height bytes, preserving the real operator's contract:
-    fixed output size, binary in → binary out, one Arrow round-trip."""
+    """Image resize: (id, width, height, resized binary) per row — the
+    1→1 map shape of a thumbnail pass.  PNG payloads decode for real
+    (operators/codecs.py), resize nearest-neighbor, and re-encode as
+    PNG; undecodable payloads fall back to deterministic strided byte
+    sampling so the contract (fixed output size, binary in → binary out,
+    one Arrow round-trip) holds for every row."""
     w, h = target
     schema = f"{id_col} string, width int, height int, resized binary"
+
+    from packs_spark.operators.codecs import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,12 +197,108 @@ def resize_images(
                 if not p:
                     out.append((rid, w, h, b"\x00" * (w * h)))
                     continue
-                # REAL DECODER GOES HERE (PIL.Image.open → .resize(target))
+                if bytes(p[:8]) == PNG_MAGIC:
+                    img = resize_nearest(decode_png(bytes(p)), (w, h))
+                    out.append((rid, w, h, encode_png(img)))
+                    continue
                 arr = np.frombuffer(p, dtype=np.uint8)
                 idx = np.linspace(0, len(arr) - 1, w * h).astype(np.int64)
                 out.append((rid, w, h, arr[idx].tobytes()))
             yield pd.DataFrame(
                 out, columns=[id_col, "width", "height", "resized"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(op, schema=schema)
+
+
+def image_features(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "url"
+) -> DataFrame:
+    """Real decode → feature-extract over an image column:
+    (id, width, height, channels, mean_luma, features[16]) where features
+    is an 8-bin luma histogram (L1-normalized) followed by per-channel
+    means scaled to [0,1] (zero-padded).  Undecodable rows keep NULL
+    dims and empty features rather than failing the batch — at corpus
+    scale a fraction of payloads is always corrupt."""
+    schema = (
+        f"{id_col} string, width int, height int, channels int, "
+        f"mean_luma double, features array<float>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    img = decode_image(bytes(p))
+                except Exception:
+                    rows.append((rid, None, None, None, None, []))
+                    continue
+                hgt, wid = img.shape[:2]
+                ch = img.shape[2] if img.ndim == 3 else 1
+                flat = img.reshape(hgt * wid, ch).astype(np.float64)
+                luma = flat.mean(axis=1)
+                hist = np.histogram(luma, bins=8, range=(0, 256))[0].astype(
+                    np.float64
+                )
+                hist /= max(hist.sum(), 1.0)
+                means = flat.mean(axis=0) / 255.0
+                feats = np.zeros(16, dtype=np.float32)
+                feats[:8] = hist
+                feats[8 : 8 + min(ch, 8)] = means[: min(ch, 8)]
+                rows.append(
+                    (rid, wid, hgt, ch, float(luma.mean()), feats.tolist())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels", "mean_luma",
+                    "features",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(op, schema=schema)
+
+
+def audio_features(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "url"
+) -> DataFrame:
+    """Real decode → feature-extract over an audio column:
+    (id, sample_rate, n_frames, channels, duration_sec, rms, zero_cross_rate).
+    WAV/PCM decodes via the stdlib; undecodable rows yield NULLs."""
+    schema = (
+        f"{id_col} string, sample_rate int, n_frames long, channels int, "
+        f"duration_sec double, rms double, zero_cross_rate double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    samples, sr = decode_audio(bytes(p))
+                except Exception:
+                    rows.append((rid, None, None, None, None, None, None))
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1)
+                rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        rid, sr, samples.shape[0], samples.shape[1],
+                        samples.shape[0] / sr if sr else 0.0, rms, zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_frames", "channels",
+                    "duration_sec", "rms", "zero_cross_rate",
+                ],
             )
 
     return df.select(id_col, binary_col).mapInPandas(op, schema=schema)

@@ -18,9 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from packs_spark.io.envelope import (
     ENVELOPE_SCHEMA,
     RECOMMENDATION_SCHEMA,
+    SCHEMA_STREAM_SCHEMA,
     schema_stream,
     text_validation_recommendations,
 )
@@ -92,12 +95,94 @@ def _dataset_metrics(wide: DataFrame, dataset: str) -> DataFrame:
 def run_pack(
     spark: SparkSession,
     pack_name: str,
-    source_conf: dict,
+    source_conf: dict | list,
     pack_conf: dict | None = None,
 ) -> dict[str, DataFrame]:
-    """Run one pack; returns {"metrics", "recommendations", "schemas"}."""
+    """Run one pack; returns {"metrics", "recommendations", "schemas"}.
+
+    ``source_conf`` may be a LIST of source configs (J5, the reference's
+    multi-table resolution): each runs through the pack and the three
+    envelope streams are unioned.  For data_compare with a list-valued
+    ``job.target``, source/target are paired positionally
+    (data_compare_pack/main.py:189-197); on a length mismatch the
+    reference compares the first of each and warns — mirrored here.
+    """
     pack_conf = pack_conf or {}
     job = pack_conf.get("job", {})
+
+    if isinstance(source_conf, list):
+        targets = job.get("target")
+        if pack_name == "data_compare" and isinstance(targets, list):
+            if len(targets) == len(source_conf):
+                pairs = list(zip(source_conf, targets))
+            else:  # reference fallback: first of each
+                import warnings
+
+                warnings.warn(
+                    "Source/Target tables count mismatch; comparing first "
+                    "dataset of each.",
+                    stacklevel=2,
+                )
+                pairs = [(source_conf[0], targets[0])]
+            results = [
+                run_pack(
+                    spark, pack_name, s,
+                    {**pack_conf, "job": {**job, "target": t}},
+                )
+                for s, t in pairs
+            ]
+        else:
+            results = [
+                run_pack(spark, pack_name, s, pack_conf) for s in source_conf
+            ]
+        merged = {}
+        for k in ("metrics", "recommendations", "schemas"):
+            out = results[0][k]
+            for r in results[1:]:
+                out = out.unionByName(r[k])
+            merged[k] = out
+        return merged
+
+    # dbt_checks consumes a dbt ARTIFACT, not a data source — handle it
+    # before load_source (there is no table to read).  Running `dbt test`
+    # itself is subprocess orchestration outside the engine
+    # (dbt_checks_pack/main.py:7-22); the engine content is parsing
+    # run_results.json into the metrics envelope (main.py:38-62).
+    if pack_name == "dbt_checks":
+        import json as _json
+
+        from packs_spark.io.envelope import metric_rows_to_df
+
+        project_dir = job.get("project_dir", ".")
+        data = job.get("run_results_data")
+        if data is None:
+            path = job.get("run_results") or os.path.join(
+                project_dir, "target", "run_results.json"
+            )
+            data = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    data = _json.load(f)
+        tests_total = tests_passed = 0
+        for res in data.get("results", []):
+            if res.get("resource_type") == "test":
+                tests_total += 1
+                if res.get("status") == "pass":
+                    tests_passed += 1
+        tests_failed = tests_total - tests_passed
+        score = 1.0 if tests_total == 0 else tests_passed / tests_total
+        rows = [
+            ("tests_total", str(tests_total), "dataset", project_dir, None),
+            ("tests_passed", str(tests_passed), "dataset", project_dir, None),
+            ("tests_failed", str(tests_failed), "dataset", project_dir, None),
+            ("score", str(round(score, 2)), "dataset", project_dir, None),
+        ]
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": _empty(spark, SCHEMA_STREAM_SCHEMA),
+        }
+
     dataset = source_conf.get("name", "source")
     df = load_source(spark, source_conf)
 

@@ -256,3 +256,84 @@ def test_duplicates_empty_source(spark, tmp_path):
     m = {r.key: r.value for r in out["metrics"].collect()}
     assert m["score"] == "1.0" and m["duplicates"] == "0"
     assert out["recommendations"].count() == 0
+
+
+def test_dbt_checks_pack_parses_run_results(spark, tmp_path):
+    """dbt_checks (dbt_checks_pack/main.py:38-62): the engine-side content
+    is parsing the dbt run_results.json artifact into the metrics
+    envelope — executing `dbt test` is subprocess orchestration outside
+    the engine."""
+    import json
+
+    proj = tmp_path / "proj"
+    (proj / "target").mkdir(parents=True)
+    (proj / "target" / "run_results.json").write_text(json.dumps({
+        "results": [
+            {"resource_type": "test", "status": "pass"},
+            {"resource_type": "test", "status": "pass"},
+            {"resource_type": "test", "status": "fail"},
+            {"resource_type": "model", "status": "success"},  # not a test
+        ]
+    }))
+    out = run_pack(
+        spark, "dbt_checks", {}, {"job": {"project_dir": str(proj)}}
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["tests_total"] == "3"
+    assert m["tests_passed"] == "2"
+    assert m["tests_failed"] == "1"
+    assert m["score"] == "0.67"
+    assert out["recommendations"].count() == 0
+
+
+def test_dbt_checks_no_results_scores_one(spark):
+    out = run_pack(
+        spark, "dbt_checks", {},
+        {"job": {"run_results_data": {"results": []}}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["tests_total"] == "0" and m["score"] == "1.0"
+
+
+def test_data_compare_positional_list_pairing(spark, tmp_path):
+    """J5 (data_compare_pack/main.py:189-197): source/target LISTS pair
+    positionally; each pair's envelope rows land under its own dataset
+    scope in the unioned streams."""
+    confs = []
+    for i, rows in enumerate(("id,v\n1,10.0\n2,20.0\n", "id,v\n5,1.0\n")):
+        s = tmp_path / f"s{i}.csv"
+        s.write_text(rows)
+        t = tmp_path / f"t{i}.csv"
+        t.write_text(rows if i == 0 else "id,v\n5,1.0\n6,2.0\n")
+        confs.append((
+            {"type": "csv", "path": str(s), "name": f"src{i}"},
+            {"type": "csv", "path": str(t)},
+        ))
+    out = run_pack(
+        spark,
+        "data_compare",
+        [c[0] for c in confs],
+        {"job": {"target": [c[1] for c in confs], "id_columns": ["id"]}},
+    )
+    m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
+    assert m[("rows_in_common", "src0")] == "2"
+    assert m[("rows_target_only", "src0")] == "0"
+    assert m[("rows_in_common", "src1")] == "1"
+    assert m[("rows_target_only", "src1")] == "1"
+
+
+def test_data_compare_list_mismatch_falls_back_to_first(spark, tmp_path):
+    s = tmp_path / "s.csv"
+    s.write_text("id,v\n1,10.0\n")
+    t = tmp_path / "t.csv"
+    t.write_text("id,v\n1,10.0\n")
+    with pytest.warns(UserWarning, match="count mismatch"):
+        out = run_pack(
+            spark,
+            "data_compare",
+            [{"type": "csv", "path": str(s), "name": "s"}] * 2,
+            {"job": {"target": [{"type": "csv", "path": str(t)}],
+                     "id_columns": ["id"]}},
+        )
+    m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
+    assert m[("rows_in_common", "s")] == "1"
