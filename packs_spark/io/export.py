@@ -36,15 +36,28 @@ def export_rows(
     fmt = (fmt or os.path.splitext(path)[1].lstrip(".")).lower() or "parquet"
     capped = df.limit(cap)
     if fmt in ("xlsx", "xls"):
-        try:
+        try:  # pragma: no cover - openpyxl absent in this environment
             import openpyxl  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env without openpyxl
-            raise NotImplementedError(
-                "xlsx export needs openpyxl (pip install openpyxl); "
-                "use fmt='parquet' or 'csv' in this environment"
-            ) from e
-        capped.toPandas().to_excel(path, index=False)  # pragma: no cover
-        return path  # pragma: no cover
+
+            capped.toPandas().to_excel(path, index=False)
+            return path
+        except ImportError:
+            pass
+        import pandas as pd
+
+        from packs_spark.io.xlsx import write_xlsx
+
+        def scalar_or_none(v):
+            if v is None or isinstance(v, (list, dict, bytes, bytearray)):
+                return v
+            return None if pd.isna(v) else v
+
+        pdf = capped.toPandas()
+        rows = [
+            [scalar_or_none(v) for v in rec]
+            for rec in pdf.itertuples(index=False, name=None)
+        ]
+        return write_xlsx(path, [str(c) for c in pdf.columns], rows)
     writer = capped.coalesce(1).write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", "true").csv(path)

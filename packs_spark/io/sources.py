@@ -107,21 +107,49 @@ def read_csv(spark: SparkSession, path: str, skiprows: int = 0) -> DataFrame:
 
 
 def read_excel(spark: SparkSession, path: str, skiprows: int = 0) -> DataFrame:
-    """Excel ingest: pandas on the driver (requires openpyxl — gated),
-    then parallelized.  Excel files are small, human-made artifacts; the
-    driver hop matches the reference's pandas read_excel path."""
-    try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without openpyxl
-        raise NotImplementedError(
-            "excel sources need openpyxl (pip install openpyxl); "
-            "not available in this environment"
-        ) from e
-    import pandas as pd
+    """Excel ingest: parsed on the driver, then parallelized.  Excel files
+    are small, human-made artifacts; the driver hop matches the
+    reference's pandas read_excel path.
 
-    pdf = pd.read_excel(path, skiprows=skiprows)  # pragma: no cover
-    return spark.createDataFrame(pdf)  # pragma: no cover
+    pandas+openpyxl when installed (dates, styles, multi-sheet); otherwise
+    the pure-stdlib OOXML reader in io/xlsx.py — executable everywhere."""
+    try:  # pragma: no cover - openpyxl absent in this environment
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_excel(path, skiprows=skiprows))
+    except ImportError:
+        pass
+    from packs_spark.io.xlsx import read_xlsx
+
+    header, rows = read_xlsx(path, skiprows=skiprows)
+    if not header:
+        raise ValueError(f"empty or headerless xlsx: {path}")
+    # per-column type from the data: double if every non-null is numeric,
+    # boolean if every non-null is bool, else string (pandas-like inference)
+    cols = list(zip(*rows)) if rows else [()] * len(header)
+    fields, coerce_str = [], set()
+    for i, (name, vals) in enumerate(zip(header, cols)):
+        nn = [v for v in vals if v is not None]
+        if nn and all(isinstance(v, bool) for v in nn):
+            t = "boolean"
+        elif nn and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in nn
+        ):
+            t = "double"
+        else:
+            t = "string"
+            coerce_str.add(i)
+        fields.append(f"`{name}` {t}")
+    data = [
+        [
+            (str(v) if i in coerce_str and v is not None else v)
+            for i, v in enumerate(r)
+        ]
+        for r in rows
+    ]
+    return spark.createDataFrame(data, ", ".join(fields))
 
 
 def read_database(spark: SparkSession, conf: dict) -> DataFrame:

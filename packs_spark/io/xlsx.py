@@ -1,0 +1,172 @@
+"""Minimal pure-stdlib XLSX reader/writer (zipfile + ElementTree).
+
+OOXML spreadsheets are ZIP archives of XML parts (ECMA-376); the subset a
+data-quality pack needs — one rectangular sheet of strings/numbers/
+booleans — is small enough to serve without openpyxl.  The reader
+understands shared strings, inline strings, numbers, and booleans, honors
+cell references (sparse rows keep their gaps), and supports ``skiprows``;
+the writer emits inline-string/number cells on one sheet.  openpyxl, when
+installed, is preferred by the callers in io/sources.py and io/export.py
+(it covers dates, styles, and multi-sheet workbooks); this module is the
+in-environment executable fallback the reference's pandas read_excel path
+maps onto.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+from xml.sax.saxutils import escape
+
+_NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
+
+
+def _col_index(ref: str) -> int:
+    """'A' → 0, 'B' → 1, ..., 'AA' → 26."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _col_name(idx: int) -> str:
+    name = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        name = chr(65 + rem) + name
+    return name
+
+
+def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
+    """First worksheet → (header, data_rows).  Cell values come back as
+    str / float / bool / None; the first non-skipped row is the header
+    (pandas read_excel convention, which the reference packs rely on)."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", _NS):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+        sheet_name = next(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(z.read(sheet_name))
+
+    rows: list[list] = []
+    for row_el in root.findall(".//m:sheetData/m:row", _NS):
+        cells: dict[int, object] = {}
+        for i, c in enumerate(row_el.findall("m:c", _NS)):
+            ref = c.get("r")
+            m = _REF_RE.match(ref) if ref else None
+            idx = _col_index(m.group(1)) if m else i
+            ctype = c.get("t", "n")
+            v = c.find("m:v", _NS)
+            if ctype == "s":
+                cells[idx] = shared[int(v.text)] if v is not None else None
+            elif ctype == "inlineStr":
+                is_el = c.find("m:is", _NS)
+                cells[idx] = (
+                    "".join(t.text or "" for t in is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                    ))
+                    if is_el is not None
+                    else None
+                )
+            elif ctype == "b":
+                cells[idx] = v is not None and v.text == "1"
+            elif ctype == "str":
+                cells[idx] = v.text if v is not None else None
+            else:  # numeric
+                cells[idx] = float(v.text) if v is not None else None
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+
+    rows = rows[skiprows:]
+    if not rows:
+        return [], []
+    header = ["" if h is None else str(h) for h in rows[0]]
+    width = len(header)
+    data = [r[:width] + [None] * (width - len(r)) for r in rows[1:]]
+    return header, data
+
+
+def write_xlsx(path: str, header: list[str], rows: list[list]) -> str:
+    """One-sheet workbook with inline-string / number / boolean cells."""
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(v))}</t></is></c>"
+        )
+
+    def row_xml(rn: int, vals: list) -> str:
+        cells = "".join(
+            cell(f"{_col_name(i)}{rn}", v) for i, v in enumerate(vals)
+        )
+        return f'<row r="{rn}">{cells}</row>'
+
+    body = row_xml(1, list(header)) + "".join(
+        row_xml(i + 2, r) for i, r in enumerate(rows)
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main">'
+        f"<sheetData>{body}</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path

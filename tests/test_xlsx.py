@@ -1,0 +1,117 @@
+"""Pure-stdlib XLSX reader/writer (io/xlsx.py) and its wiring into
+read_excel / export_rows — the path openpyxl used to gate."""
+
+import zipfile
+
+import pytest
+
+from packs_spark.io.xlsx import read_xlsx, write_xlsx
+
+
+def test_xlsx_roundtrip(tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        p,
+        ["name", "score", "active"],
+        [["alice", 1.5, True], ["bob", 2.0, False], [None, None, None]],
+    )
+    header, rows = read_xlsx(p)
+    assert header == ["name", "score", "active"]
+    assert rows == [
+        ["alice", 1.5, True],
+        ["bob", 2.0, False],
+        [None, None, None],
+    ]
+
+
+def test_xlsx_escapes_markup_and_preserves_space(tmp_path):
+    p = str(tmp_path / "esc.xlsx")
+    write_xlsx(p, ["v"], [["<b>&'\"</b>"], ["  padded  "]])
+    _, rows = read_xlsx(p)
+    assert rows == [["<b>&'\"</b>"], ["  padded  "]]
+
+
+def test_xlsx_skiprows(tmp_path):
+    p = str(tmp_path / "s.xlsx")
+    write_xlsx(p, ["junk"], [["also junk"], ["name"], ["alice"]])
+    header, rows = read_xlsx(p, skiprows=2)
+    assert header == ["name"]
+    assert rows == [["alice"]]
+
+
+def test_xlsx_shared_strings_and_sparse_cells(tmp_path):
+    """Hand-built workbook using sharedStrings + a gap cell (C without B)
+    — the shapes other producers emit that the writer itself does not."""
+    p = str(tmp_path / "ss.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="C2"><v>9</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+        'org/spreadsheetml/2006/main"><si><t>a</t></si><si><t>b</t></si>'
+        "<si><t>c</t></si><si><t>x</t></si></sst>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+    header, rows = read_xlsx(p)
+    assert header == ["a", "b", "c"]
+    assert rows == [["x", None, 9.0]]
+
+
+def test_read_excel_spark_end_to_end(spark, tmp_path):
+    from packs_spark.io.sources import read_excel
+
+    p = str(tmp_path / "src.xlsx")
+    write_xlsx(
+        p,
+        ["name", "age", "ok"],
+        [["alice", 30.0, True], ["bob", 41.0, False], ["carol", None, True]],
+    )
+    df = read_excel(spark, p)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "double", "boolean",
+    ]
+    got = {r["name"]: (r["age"], r["ok"]) for r in df.collect()}
+    assert got == {"alice": (30.0, True), "bob": (41.0, False),
+                   "carol": (None, True)}
+
+
+def test_export_rows_xlsx(spark, tmp_path):
+    from packs_spark.io.export import export_rows
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double"
+    )
+    p = str(tmp_path / "out.xlsx")
+    export_rows(df.orderBy("k"), p, fmt="xlsx")
+    header, rows = read_xlsx(p)
+    assert header == ["k", "v"]
+    assert sorted(rows) == [["a", 1.0], ["b", 2.0]]
+
+
+def test_excel_source_through_pack(spark, tmp_path):
+    """S1 closed: a pack run over an .xlsx source executes in this
+    environment (was NotImplementedError without openpyxl)."""
+    from packs_spark.pack_api import run_pack
+
+    p = str(tmp_path / "people.xlsx")
+    write_xlsx(
+        p,
+        ["name", "comment"],
+        [["alice", "fine"], ["bob", "n/a"], ["carol", "fine"]],
+    )
+    out = run_pack(
+        spark,
+        "text_validation",
+        {"type": "excel", "path": p, "name": "people"},
+        {"job": {"columns": ["comment"]}},
+    )
+    m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
+    assert m[("non_null", "comment")] == "3"
+    assert m[("null_placeholder_text_found", "comment")] == "1"
