@@ -153,19 +153,31 @@ def read_excel(spark: SparkSession, path: str, skiprows: int = 0) -> DataFrame:
 
 
 def read_database(spark: SparkSession, conf: dict) -> DataFrame:
-    """JDBC scan of ONE table or query.  For list / ``*`` valued
-    ``table_or_query`` use :func:`load_database_sources`, which resolves
-    to a dict of per-table DataFrames (the reference iterates datasets
-    the same way, profiling_pack/main.py:140-145)."""
+    """Scan of ONE table or query from a database source.  For list /
+    ``*`` valued ``table_or_query`` use :func:`load_database_sources`,
+    which resolves to a dict of per-table DataFrames (the reference
+    iterates datasets the same way, profiling_pack/main.py:140-145).
+
+    ``sqlite:`` URLs are served in-process by the stdlib ``sqlite3``
+    module — a REAL database engine, driver-side like the reference's
+    pandas ``read_sql`` hop (dims are small by contract); everything
+    else goes through Spark's JDBC source (postgres/mysql/mssql/oracle,
+    the scale path — executors partition the scan).  The sandbox ships
+    no JDBC driver jars and has no network, so the JDBC branch is
+    integration-tested with fakes while the sqlite branch executes the
+    full resolution contract against a live engine."""
     toq = conf.get("table_or_query", "*")
     if isinstance(toq, list) or toq == "*":
         raise ValueError(
             "list/'*' table_or_query resolves to MULTIPLE datasets — "
             "use load_database_sources(spark, conf)"
         )
+    url = conf["url"]
+    if url.startswith(("sqlite:", "jdbc:sqlite:")):
+        return _read_sqlite(spark, url, toq)
     reader = (
         spark.read.format("jdbc")
-        .option("url", conf["url"])
+        .option("url", url)
         .option("driver", conf.get("driver", ""))
     )
     for k, v in conf.get("properties", {}).items():
@@ -173,6 +185,50 @@ def read_database(spark: SparkSession, conf: dict) -> DataFrame:
     if isinstance(toq, str) and toq.strip().lower().startswith("select"):
         return reader.option("query", toq).load()
     return reader.option("dbtable", toq).load()
+
+
+def _sqlite_path(url: str) -> str:
+    """'sqlite:/abs/db', 'sqlite:///rel.db' (sqlalchemy style), and
+    'jdbc:sqlite:/abs/db' all resolve to the filesystem path."""
+    path = url.removeprefix("jdbc:").removeprefix("sqlite:")
+    if path.startswith("//"):  # sqlite:///x → x, sqlite:////abs → /abs
+        path = path[2:].lstrip("/") if not path.startswith("////") else path[3:]
+    return path
+
+
+def _read_sqlite(spark: SparkSession, url: str, toq: str) -> DataFrame:
+    import sqlite3
+
+    sql = (
+        toq
+        if toq.strip().lower().startswith("select")
+        else f'SELECT * FROM "{toq}"'
+    )
+    with sqlite3.connect(_sqlite_path(url)) as con:
+        cur = con.execute(sql)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    # sqlite is dynamically typed per VALUE; infer per column like the
+    # excel reader (long when all-int, double when numeric, else string)
+    cols = list(zip(*rows)) if rows else [()] * len(names)
+    fields, casts = [], {}
+    for i, (name, vals) in enumerate(zip(names, cols)):
+        nn = [v for v in vals if v is not None]
+        if nn and all(isinstance(v, int) for v in nn):
+            t = "long"
+        elif nn and all(isinstance(v, (int, float)) for v in nn):
+            t, casts[i] = "double", float
+        else:
+            t, casts[i] = "string", str
+        fields.append(f"`{name}` {t}")
+    data = [
+        [
+            (casts[i](v) if i in casts and v is not None else v)
+            for i, v in enumerate(r)
+        ]
+        for r in rows
+    ]
+    return spark.createDataFrame(data, ", ".join(fields))
 
 
 # information_schema is ANSI SQL and served by postgres/mysql/mssql;
@@ -184,13 +240,22 @@ _LIST_TABLES_SQL = (
 )
 
 
+_SQLITE_LIST_TABLES_SQL = (
+    "SELECT name FROM sqlite_master WHERE type = 'table' "
+    "AND name NOT LIKE 'sqlite_%'"
+)
+
+
 def list_tables(spark: SparkSession, conf: dict) -> list[str]:
     """All base-table names of a database source (the reference's ``*``
-    expansion, profiling_pack/main.py:140-145).  One tiny JDBC query —
+    expansion, profiling_pack/main.py:140-145).  One tiny metadata query —
     the table list is driver metadata by nature."""
-    names = read_database(
-        spark, {**conf, "table_or_query": _LIST_TABLES_SQL}
-    ).collect()
+    sql = (
+        _SQLITE_LIST_TABLES_SQL
+        if conf["url"].startswith(("sqlite:", "jdbc:sqlite:"))
+        else _LIST_TABLES_SQL
+    )
+    names = read_database(spark, {**conf, "table_or_query": sql}).collect()
     return sorted(r[0] for r in names)
 
 
