@@ -1254,6 +1254,26 @@ _GX_SUITE = [
                 "max_value": 20}},
     {"expectation_type": "expect_column_values_to_be_of_type",
      "kwargs": {"column": "o_orderkey", "type_": "int64"}},
+    # round-3 additions — common-usage GX catalog beyond the reference's
+    # shipped configs (operators/expectations.py module docstring)
+    {"expectation_type": "expect_column_values_to_not_be_in_set",
+     "kwargs": {"column": "o_orderstatus", "value_set": ["X", "Z"]}},
+    {"expectation_type": "expect_column_values_to_not_match_regex",
+     "kwargs": {"column": "o_orderpriority", "regex": "^9"}},
+    {"expectation_type": "expect_column_unique_value_count_to_be_between",
+     "kwargs": {"column": "o_orderstatus", "min_value": 2, "max_value": 5}},
+    {"expectation_type":
+         "expect_column_proportion_of_unique_values_to_be_between",
+     "kwargs": {"column": "o_orderkey", "min_value": 1.0, "max_value": 1.0}},
+    {"expectation_type": "expect_column_median_to_be_between",
+     "kwargs": {"column": "o_totalprice", "min_value": 1,
+                "max_value": 100000}},
+    {"expectation_type": "expect_compound_columns_to_be_unique",
+     "kwargs": {"column_list": ["o_orderkey", "o_custkey"]}},
+    {"expectation_type": "expect_table_column_count_to_be_between",
+     "kwargs": {"min_value": 5, "max_value": 20}},
+    {"expectation_type": "expect_column_pair_values_a_to_be_greater_than_b",
+     "kwargs": {"column_A": "o_totalprice", "column_B": "o_orderkey"}},
 ]
 
 
@@ -1313,6 +1333,49 @@ WITH r AS (
   UNION ALL
   SELECT 13, 'expect_column_values_to_be_of_type', 'o_orderkey',
          TRUE  -- schema-level: o_orderkey IS int64/bigint in the parquet
+  UNION ALL
+  SELECT 14, 'expect_column_values_to_not_be_in_set', 'o_orderstatus',
+         (SELECT sum(CASE WHEN o_orderstatus NOT IN ('X','Z')
+                          THEN 1 ELSE 0 END) = count(o_orderstatus)
+          FROM orders)
+  UNION ALL
+  SELECT 15, 'expect_column_values_to_not_match_regex', 'o_orderpriority',
+         (SELECT sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^9')
+                          THEN 1 ELSE 0 END) = count(o_orderpriority)
+          FROM orders)
+  UNION ALL
+  SELECT 16, 'expect_column_unique_value_count_to_be_between',
+         'o_orderstatus',
+         (SELECT count(DISTINCT o_orderstatus) BETWEEN 2 AND 5 FROM orders)
+  UNION ALL
+  SELECT 17, 'expect_column_proportion_of_unique_values_to_be_between',
+         'o_orderkey',
+         (SELECT count(DISTINCT o_orderkey) * 1.0 / count(o_orderkey)
+                 BETWEEN 1.0 AND 1.0 FROM orders)
+  UNION ALL
+  SELECT 18, 'expect_column_median_to_be_between', 'o_totalprice',
+         (SELECT quantile_cont(o_totalprice, 0.5) BETWEEN 1 AND 100000
+          FROM orders)
+  UNION ALL
+  SELECT 19, 'expect_compound_columns_to_be_unique',
+         'o_orderkey,o_custkey',
+         ((SELECT count(*) FROM
+            (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+          = (SELECT count(*) FROM orders))
+  UNION ALL
+  SELECT 20, 'expect_table_column_count_to_be_between', NULL,
+         TRUE  -- schema-level: 9 columns in [5, 20]
+  UNION ALL
+  SELECT 21, 'expect_column_pair_values_a_to_be_greater_than_b',
+         'o_totalprice~o_orderkey',
+         (SELECT sum(CASE WHEN o_totalprice IS NOT NULL
+                           AND o_orderkey IS NOT NULL
+                           AND o_totalprice > o_orderkey
+                          THEN 1 ELSE 0 END)
+                 = sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND o_orderkey IS NOT NULL
+                            THEN 1 ELSE 0 END)
+          FROM orders)
 )
 SELECT idx, expectation, "column", success,
        round((SELECT sum(CASE WHEN success THEN 1 ELSE 0 END) * 1.0

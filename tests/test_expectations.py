@@ -125,3 +125,92 @@ def test_gx_new_types(spark):
     # sum(val)=120 in [100,200]; not >=1000; stdev ~17.8 in [1,100];
     # all cat lengths are 1; none in [2,5]; id is int64 not str
     assert ok == [True, False, True, True, False, True, False]
+
+
+def test_gx_round3_types(spark):
+    df = _df(spark)
+    res = evaluate_suite(
+        df,
+        [
+            {"expectation_type": "expect_column_values_to_be_null",
+             "kwargs": {"column": "cat", "mostly": 0.2}},
+            {"expectation_type": "expect_column_values_to_be_null",
+             "kwargs": {"column": "cat"}},
+            {"expectation_type": "expect_column_values_to_not_match_regex",
+             "kwargs": {"column": "cat", "regex": "^z"}},
+            {"expectation_type": "expect_column_values_to_not_match_regex",
+             "kwargs": {"column": "cat", "regex": "^a"}},
+            {"expectation_type": "expect_column_values_to_not_be_in_set",
+             "kwargs": {"column": "cat", "value_set": ["x", "y"]}},
+            {"expectation_type": "expect_column_values_to_not_be_in_set",
+             "kwargs": {"column": "cat", "value_set": ["a"]}},
+            {"expectation_type": "expect_column_distinct_values_to_be_in_set",
+             "kwargs": {"column": "cat", "value_set": ["a", "b", "c", "d"]}},
+            {"expectation_type": "expect_column_distinct_values_to_be_in_set",
+             "kwargs": {"column": "cat", "value_set": ["a", "b"]}},
+            {"expectation_type":
+                 "expect_column_distinct_values_to_equal_set",
+             "kwargs": {"column": "cat", "value_set": ["a", "b", "c"]}},
+            {"expectation_type":
+                 "expect_column_distinct_values_to_contain_set",
+             "kwargs": {"column": "cat", "value_set": ["a", "b"]}},
+            {"expectation_type":
+                 "expect_column_distinct_values_to_contain_set",
+             "kwargs": {"column": "cat", "value_set": ["a", "z"]}},
+            {"expectation_type":
+                 "expect_column_unique_value_count_to_be_between",
+             "kwargs": {"column": "cat", "min_value": 3, "max_value": 3}},
+            {"expectation_type":
+                 "expect_column_proportion_of_unique_values_to_be_between",
+             "kwargs": {"column": "cat", "min_value": 0.7,
+                        "max_value": 0.8}},
+            {"expectation_type": "expect_column_median_to_be_between",
+             "kwargs": {"column": "val", "min_value": 20, "max_value": 40}},
+            {"expectation_type":
+                 "expect_column_quantile_values_to_be_between",
+             "kwargs": {"column": "val", "quantile_ranges": {
+                 "quantiles": [0.25, 0.75],
+                 "value_ranges": [[10, 20], [40, 50]]}}},
+            {"expectation_type":
+                 "expect_column_quantile_values_to_be_between",
+             "kwargs": {"column": "val", "quantile_ranges": {
+                 "quantiles": [0.25], "value_ranges": [[45, 50]]}}},
+            {"expectation_type":
+                 "expect_column_pair_values_a_to_be_greater_than_b",
+             "kwargs": {"column_A": "val", "column_B": "id"}},
+            {"expectation_type": "expect_compound_columns_to_be_unique",
+             "kwargs": {"column_list": ["id", "cat"]}},
+            {"expectation_type": "expect_table_column_count_to_be_between",
+             "kwargs": {"min_value": 3, "max_value": 3}},
+            {"expectation_type": "expect_table_column_count_to_be_between",
+             "kwargs": {"min_value": 5}},
+            {"expectation_type":
+                 "expect_column_values_to_match_strftime_format",
+             "kwargs": {"column": "cat", "strftime_format": "%Y-%m-%d",
+                        "mostly": 0.01}},
+        ],
+    )
+    ok = [r["success"] for r in res]
+    assert ok == [
+        True,   # 1/5 rows null >= 0.2
+        False,  # not all null
+        True,   # nothing starts with z
+        False,  # 'a' matches ^a (2 of 4 non-null)
+        True,   # no x/y values
+        False,  # 'a' present
+        True,   # {a,b,c} ⊆ {a,b,c,d}
+        False,  # 'c' outside {a,b}
+        True,   # distinct == {a,b,c}
+        True,   # contains {a,b}
+        False,  # 'z' missing
+        True,   # 3 distinct
+        True,   # 3 distinct / 4 non-null = 0.75
+        True,   # median(10,20,40,50) = 30
+        True,   # q25=17.5∈[10,20] (cont), q75=42.5∈[40,50]
+        False,  # q25 not in [45,50]
+        True,   # every non-null val > id
+        True,   # (id,cat) pairs unique
+        True,   # exactly 3 columns
+        False,  # fewer than 5 columns
+        False,  # no cat value parses as a date
+    ]
