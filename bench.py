@@ -46,6 +46,8 @@ HEADLINE = [
     # round-2 operators
     "conversions_validity_orders",
     "fhir_compliance_orders",
+    # round-3: the scale-tier clustering path (LSH + verified edges + CC)
+    "dedup_clusters_documents",
 ]
 
 # 1M docs: the pipeline's fixed per-run cost (~1.5s of scheduling/metrics/

@@ -30,11 +30,20 @@ def stream_webtext(
     checkpoint_dir: str,
     schema=None,
     available_now: bool = True,
+    thresholds: dict | None = None,
+    run_id: str = "stream-0",
 ):
-    """Streaming quality filter: returns the started StreamingQuery."""
+    """Streaming quality filter: the SAME fused enrich UDF and keep/drop
+    rule as the batch pipeline (pipeline/webtext.py run_batch), bolted
+    onto ``readStream`` — a document gets the identical label whether it
+    arrives by backfill or by stream (parity pinned in
+    tests/test_streaming.py).  Spark's streaming checkpoint replaces the
+    batch tier's per-bucket commit log as the exactly-once mechanism.
+    Returns the started StreamingQuery."""
     from packs_spark.pipeline.udfs import make_enrich_udf
-    from packs_spark.pipeline.webtext import quality_columns
+    from packs_spark.pipeline.webtext import DEFAULT_THRESHOLDS, quality_columns
 
+    t = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
     if schema is None:
         schema = (
             "url string, warc_ts timestamp, html binary, "
@@ -48,11 +57,22 @@ def stream_webtext(
         .select(
             "*",
             F.col("__e.lang").alias("lang_pred"),
+            F.col("__e.margin").alias("lang_margin"),
             F.col("__e.ppl").alias("ppl"),
             F.col("__e.scrubbed").alias("text_scrubbed"),
+            F.col("__e.spans").alias("scrub_spans"),
             F.col("__e.n_hits").alias("pii_hits"),
+            F.col("__e.keep_heuristic").alias("keep_heuristic"),
         )
         .drop("__e")
+        .withColumn(
+            "keep",
+            F.col("keep_heuristic")
+            & (F.col("lang_pred") != "unknown")
+            & (F.col("lang_margin") >= t["min_margin"])
+            & (F.col("ppl") <= t["max_ppl"]),
+        )
+        .withColumn("run_id", F.lit(run_id))
     )
     writer = (
         out.writeStream.format("parquet")

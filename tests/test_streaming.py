@@ -65,6 +65,36 @@ def test_stream_webtext_filters_and_scrubs(spark, tmp_path):
     assert spark.read.parquet(out).count() == 700  # only new rows processed
 
 
+def test_stream_webtext_keep_labels_match_batch(spark, tmp_path):
+    """Stream/batch parity: a document gets the SAME keep/drop decision
+    and scrubbed text whether it arrives by streaming ingest or by the
+    batch backfill pipeline (both run the fused enrich UDF + the same
+    threshold rule)."""
+    from packs_spark.pipeline.generate import generate_pages
+    from packs_spark.pipeline.webtext import run_batch
+
+    srcdir = str(tmp_path / "src")
+    os.makedirs(srcdir)
+    pdf = generate_pages(400, seed=21, n_hosts=8)
+    spark.createDataFrame(pdf).write.parquet(srcdir, mode="overwrite")
+
+    q = stream_webtext(
+        spark, srcdir, str(tmp_path / "s_out"), str(tmp_path / "s_ck")
+    )
+    q.awaitTermination(180)
+    run_batch(spark, srcdir, str(tmp_path / "b_out"), n_buckets=8)
+
+    s = {
+        r["url"]: (r["keep"], r["text_scrubbed"])
+        for r in spark.read.parquet(str(tmp_path / "s_out")).collect()
+    }
+    b = {
+        r["url"]: (r["keep"], r["text_scrubbed"])
+        for r in spark.read.parquet(str(tmp_path / "b_out")).collect()
+    }
+    assert s == b and len(s) == 400
+
+
 def test_multimodal_metadata(spark, tmp_path):
     from packs_spark.operators.multimodal import FEATURE_DIM, extract_metadata
     from packs_spark.pipeline.generate import generate_pages
@@ -80,7 +110,9 @@ def test_multimodal_metadata(spark, tmp_path):
         assert abs(sum(r["features"]) - 1.0) < 1e-3  # L1-normalized histogram
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_unsupported_raises():
+    # corrupt PNG magic / non-WAVE RIFF fall through the stdlib decoders
+    # to the dependency-naming error (real decode paths: tests/test_codecs.py)
     from packs_spark.operators.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
