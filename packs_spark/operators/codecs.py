@@ -166,6 +166,195 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW (variable code width, LSB-first bit packing)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        byte_i, bit_o = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
+    """GIF bytes → list of fully-composited (H, W, 3) uint8 frames.
+
+    Real multi-frame decode from the stdlib alone: LZW inflate, local/
+    global palettes, interlacing, transparency, and disposal methods
+    0-3 (each returned frame is the full canvas as a viewer would show
+    it, not the raw patch)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags, bg = payload[10], payload[11]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None:
+        canvas[:] = gct[bg]
+    frames: list = []
+    transparent, disposal = None, 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                block = payload[pos + 1 : pos + 1 + payload[pos]]
+                disposal = (block[0] >> 2) & 7
+                transparent = block[3] if block[0] & 1 else None
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            x, y, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                lct = np.frombuffer(
+                    payload[pos : pos + 3 * n], np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            else:
+                lct = gct
+            if lct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                sz = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + sz]
+                pos += sz + 1
+            pos += 1
+            raw = _lzw_decode(min_code, bytes(lzw))[: iw * ih]
+            idx = np.frombuffer(raw, np.uint8).reshape(ih, iw)
+            if iflags & 0x40:
+                idx = _deinterlace(idx)
+            patch = lct[idx]
+            saved = canvas[y : y + ih, x : x + iw].copy()
+            region = canvas[y : y + ih, x : x + iw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = patch[mask]
+            else:
+                region[:] = patch
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore to background
+                canvas[y : y + ih, x : x + iw] = (
+                    gct[bg] if gct is not None else 0
+                )
+            elif disposal == 3:  # restore to previous
+                canvas[y : y + ih, x : x + iw] = saved
+            transparent, disposal = None, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return frames
+
+
+def _lzw_encode_literal(data: bytes, min_code_size: int = 8) -> bytes:
+    """Literal-code LZW: every byte emitted as its own code, with CLEAR
+    codes keeping the table small enough that the code width never grows
+    past min_code_size+1.  ~25% size overhead; trivially correct — the
+    encoder a test fixture wants."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    bits, acc, nbits = bytearray(), 0, 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, b in enumerate(data):
+        if i and i % 200 == 0:  # table would hit 2^code_size at ~254
+            emit(clear)
+        emit(b)
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def encode_gif(frames: list, palette: np.ndarray | None = None) -> bytes:
+    """List of (H, W) uint8 palette-index frames → animated GIF (global
+    256-color table; grayscale identity palette by default)."""
+    h, w = frames[0].shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # 256-entry GCT, bg index 0
+    out += palette.astype(np.uint8).tobytes()
+    for fr in frames:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])
+        stream = _lzw_encode_literal(fr.astype(np.uint8).tobytes())
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def resize_nearest(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor resize of (H, W, C) to (target_w, target_h) — the
     deterministic resize used when Pillow's resamplers are unavailable."""

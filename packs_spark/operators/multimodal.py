@@ -142,20 +142,37 @@ def frame_sample(
     every_n: int = 30,
     max_frames: int = 10,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: explode each payload into
-    (id, frame_idx, frame_bytes) rows — the 1→N row shape a real
-    ffmpeg-backed sampler produces.  Decode is stubbed deterministically
-    (frame count from byte length, frame bytes = a slice) so the
-    explode/partitioning/schema shape is tested without codecs; wire a
-    real decoder at the marked line."""
+    """Frame sampling: explode each payload into (id, frame_idx,
+    frame_bytes) rows — the 1→N row shape a video sampler produces.
+
+    Animated GIF (the one multi-frame container decodable from the
+    stdlib) decodes FOR REAL — LZW inflate + disposal-aware compositing
+    (operators/codecs.py), keeping every ``every_n``-th composited frame
+    re-encoded as PNG.  Other containers (mp4/webm need ffmpeg) use the
+    deterministic byte-slice stand-in so the explode/partitioning/schema
+    contract holds for every payload."""
     schema = f"{id_col} string, frame_idx int, frame_bytes binary"
+
+    from packs_spark.operators.codecs import decode_gif_frames, encode_png
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, p in zip(pdf[id_col], pdf[binary_col]):
-                # REAL DECODER GOES HERE (ffmpeg: demux, take every_n-th
-                # frame); the stand-in derives frames from byte length
+                if p is not None and bytes(p[:4]) == b"GIF8":
+                    frames = decode_gif_frames(
+                        bytes(p), max_frames=max_frames * every_n
+                    )
+                    rows.extend(
+                        (rid, k, encode_png(frames[i]))
+                        for k, i in enumerate(
+                            range(0, len(frames), every_n)
+                        )
+                        if k < max_frames
+                    )
+                    continue
+                # STAND-IN for codec-dependent containers (ffmpeg):
+                # frame count from byte length, frame bytes = a slice
                 n_frames = (len(p) if p else 0) // every_n
                 rows.extend(
                     (rid, i, bytes(p[i : i + 16]))

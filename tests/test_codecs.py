@@ -192,3 +192,100 @@ def test_resize_images_real_png_path(spark):
     assert resized.shape == (8, 8, 3)
     assert np.array_equal(resized, resize_nearest(img, (8, 8)))
     assert len(out["raw"]["resized"]) == 64  # strided fallback contract
+
+
+# ---------------------------------------------------------------------------
+# GIF (real multi-frame decode: LZW + compositing)
+# ---------------------------------------------------------------------------
+
+from packs_spark.operators.codecs import (  # noqa: E402
+    _lzw_decode,
+    _lzw_encode_literal,
+    decode_gif_frames,
+    encode_gif,
+)
+
+
+def test_lzw_literal_roundtrip():
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 256, size=5000, dtype=np.uint8))
+    assert _lzw_decode(8, _lzw_encode_literal(data)) == data
+
+
+def test_lzw_kwkwk_case():
+    """The code-equals-next_code special case: codes CLEAR, 'a', 258, END
+    with min_code_size 8 — 258 is the just-being-created 'aa' entry,
+    referenced before it is finished, decoding to 'a' + 'aa' = 'aaa'."""
+    codes = [256, 97, 258, 257]
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(8, bytes(out)) == b"aaa"
+
+
+def test_gif_multiframe_roundtrip():
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(11, 7), dtype=np.uint8) for _ in range(5)
+    ]
+    decoded = decode_gif_frames(encode_gif(frames))
+    assert len(decoded) == 5
+    for fr, dec in zip(frames, decoded):
+        assert dec.shape == (11, 7, 3)
+        # grayscale identity palette: every channel equals the index
+        assert np.array_equal(dec[:, :, 0], fr)
+        assert np.array_equal(dec[:, :, 1], fr)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """Hand-build frame 2 as a partial patch with a transparent index —
+    the composited frame must show frame 1 underneath."""
+    import struct as _s
+
+    base = np.full((4, 4), 10, dtype=np.uint8)
+    gif = bytearray(encode_gif([base])[:-1])  # drop trailer
+    # graphic control: transparency on, transparent index 0
+    gif += b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    # 2x2 patch at (1,1): indices [[0, 20], [20, 0]] (0 = transparent)
+    patch = np.array([[0, 20], [20, 0]], dtype=np.uint8)
+    gif += b"\x2c" + _s.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([8])
+    stream = _lzw_encode_literal(patch.tobytes())
+    gif += bytes([len(stream)]) + stream + b"\x00"
+    gif += b"\x3b"
+    frames = decode_gif_frames(bytes(gif))
+    assert len(frames) == 2
+    f2 = frames[1][:, :, 0]
+    assert f2[1, 1] == 10 and f2[2, 2] == 10  # transparent → base shows
+    assert f2[1, 2] == 20 and f2[2, 1] == 20  # opaque patch pixels
+    assert f2[0, 0] == 10  # outside the patch untouched
+
+
+def test_frame_sample_real_gif(spark):
+    from packs_spark.operators.multimodal import frame_sample
+
+    frames = [np.full((6, 6), i * 10, dtype=np.uint8) for i in range(8)]
+    rows = [
+        ("g", bytearray(encode_gif(frames))),
+        ("raw", bytearray(bytes(90))),  # stand-in path: 90 // 2 capped at 3
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = frame_sample(df, "payload", "url", every_n=2, max_frames=3).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    g = sorted(by_url["g"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in g] == [0, 1, 2]
+    # every_n=2 → composited frames 0, 2, 4, PNG-encoded
+    for r, want in zip(g, (0, 20, 40)):
+        img = decode_png(bytes(r["frame_bytes"]))
+        assert img.shape == (6, 6, 3)
+        assert int(img[0, 0, 0]) == want
+    assert len(by_url["raw"]) == 3
