@@ -241,9 +241,16 @@ class CheckpointedWriter:
             # (O_EXCL) makes removal + re-create a critical section: only
             # the guard holder may unlink the lock, and it re-verifies
             # staleness *inside* the section before doing so.
-            try:  # a guard left by a crashed takeover ages out in 60 s
+            try:  # a guard left by a crashed takeover ages out in 60 s.
+                # Claim-by-rename, then delete: two waiters that both see
+                # the stale guard cannot both remove it (the second rename
+                # gets FileNotFoundError), so only one proceeds to the
+                # O_EXCL create below in this round — a bare
+                # check-then-remove would let both "win" the guard.
                 if time.time() - os.path.getmtime(guard) > 60.0:
-                    os.remove(guard)
+                    dead = f"{guard}.dead.{os.getpid()}"
+                    os.rename(guard, dead)
+                    os.remove(dead)
             except OSError:
                 pass
             try:
@@ -275,7 +282,21 @@ class CheckpointedWriter:
         Write-to-temp + ``os.replace`` keeps the refresh atomic: a
         truncating ``open('w')`` would expose an empty/partial file to a
         concurrent ``_acquire_lock`` read, which would parse-fail to
-        ts=0, judge us stale, and take over while we are alive."""
+        ts=0, judge us stale, and take over while we are alive.
+
+        Ownership is verified first: a holder that stalled past
+        LOCK_STALE_AFTER without dying may have been legitimately taken
+        over — blindly replacing the new holder's lock on wake-up would
+        reinstate a split-brain dual writer.  Losing the lock aborts the
+        run (RuntimeError) instead."""
+        held = self._read_lock()
+        if held.get("pid") != os.getpid():
+            raise RuntimeError(
+                f"writer lock on {self.base_path} was taken over by pid "
+                f"{held.get('pid')} (this run stalled past the "
+                f"{self.LOCK_STALE_AFTER:.0f}s staleness horizon) — "
+                "aborting to avoid two concurrent writers"
+            )
         tmp = f"{self._lock_path}.hb.{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))

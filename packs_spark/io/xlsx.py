@@ -40,6 +40,35 @@ def _col_name(idx: int) -> str:
     return name
 
 
+def _first_sheet_part(z: zipfile.ZipFile) -> str:
+    """The part name of the workbook's FIRST sheet in workbook.xml order —
+    NOT zip member order, which OOXML leaves unconstrained (an archive may
+    store sheet2.xml before sheet1.xml).  Falls back to the lowest
+    -numbered worksheet part when workbook metadata is absent."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        first = wb.find("m:sheets/m:sheet", _NS)
+        rid = first.get(
+            "{http://schemas.openxmlformats.org/officeDocument/2006/"
+            "relationships}id"
+        )
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels:
+            if rel.get("Id") == rid:
+                target = rel.get("Target").lstrip("/")
+                return target if target.startswith("xl/") else f"xl/{target}"
+    except (KeyError, AttributeError, ET.ParseError):
+        pass
+    parts = sorted(
+        (int(re.fullmatch(r"xl/worksheets/sheet(\d+)\.xml", n).group(1)), n)
+        for n in z.namelist()
+        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    )
+    if not parts:
+        raise ValueError("xlsx contains no worksheet parts")
+    return parts[0][1]
+
+
 def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
     """First worksheet → (header, data_rows).  Cell values come back as
     str / float / bool / None; the first non-skipped row is the header
@@ -52,11 +81,7 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
                 shared.append("".join(t.text or "" for t in si.iter(
                     "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
                 )))
-        sheet_name = next(
-            n for n in z.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
-        root = ET.fromstring(z.read(sheet_name))
+        root = ET.fromstring(z.read(_first_sheet_part(z)))
 
     rows: list[list] = []
     for row_el in root.findall(".//m:sheetData/m:row", _NS):
@@ -99,11 +124,15 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
 def write_xlsx(path: str, header: list[str], rows: list[list]) -> str:
     """One-sheet workbook with inline-string / number / boolean cells."""
 
+    import math
+
     def cell(ref: str, v) -> str:
         if v is None:
             return ""
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, float) and not math.isfinite(v):
+            return ""  # <v>nan</v>/<v>inf</v> is not a valid OOXML number
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v}</v></c>'
         return (

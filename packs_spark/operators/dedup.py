@@ -288,12 +288,22 @@ def lsh_verified_pairs(
                   F.col("sz").alias("size_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     j = F.round(inter / (F.col("size_a") + F.col("size_b") - inter), 6)
-    return (
+    verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", j.alias("j"))
         .where(F.col("j") >= threshold)
     )
+    # Materialize the (tiny, ~linear-in-true-dups) pair list while the
+    # shingle cache is warm, then RELEASE the big cache entry: returning a
+    # lazy frame over a still-persisted corpus-sized frame would pin it
+    # for the session lifetime (the leak jaccard_pairs documents).  The
+    # pairs stay persisted for the caller's reuse; unpersisting them is
+    # the caller's choice (dedup pair lists are driver-collectable).
+    verified = verified.persist()
+    verified.count()
+    sh.unpersist()
+    return verified
 
 
 def lsh_candidate_pairs(

@@ -114,6 +114,39 @@ def _mostly_pred(pred: Column, col: Column, idx: int, mostly: float) -> _Compile
     )
 
 
+_STRFTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+    "%j": "DDD", "%p": "a", "%%": "%",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            d = fmt[i : i + 2]
+            if d not in _STRFTIME_TO_JAVA:
+                raise ValueError(
+                    f"unsupported strftime directive {d!r} in "
+                    f"expect_column_values_to_match_strftime_format "
+                    f"format {fmt!r}"
+                )
+            out.append(_STRFTIME_TO_JAVA[d])
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            if any(ch.isalpha() or ch == "'" for ch in lit):
+                out.append("'" + lit.replace("'", "''") + "'")
+            else:
+                out.append(lit)
+            i = j
+    return "".join(out)
+
+
 def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
     etype = exp["expectation_type"]
     kw = exp.get("kwargs", {})
@@ -234,15 +267,16 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
             pred = pred & (c != F.lit(val))
         out = _mostly_pred(pred, c, idx, mostly)
     elif etype == "expect_column_values_to_match_strftime_format":
-        # GX takes a C strftime format; translate the directives its docs
-        # use onto Spark's java.time pattern and validate via
-        # try_to_timestamp (NULL on mismatch)
-        fmt = kw["strftime_format"]
-        for a, b in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                     ("%H", "HH"), ("%M", "mm"), ("%S", "ss")):
-            fmt = fmt.replace(a, b)
+        # GX takes a C strftime format; translate it onto Spark's
+        # java.time pattern and validate via try_to_timestamp (NULL on
+        # mismatch).  Literal runs containing letters are quoted (an
+        # unquoted 'T' is an unknown java.time pattern letter) and an
+        # untranslatable directive raises instead of silently producing
+        # a pattern that fails every row.
         out = _mostly_pred(
-            F.try_to_timestamp(c.cast("string"), F.lit(fmt)).isNotNull(),
+            F.try_to_timestamp(
+                c.cast("string"), F.lit(_strftime_to_java(kw["strftime_format"]))
+            ).isNotNull(),
             c, idx, mostly,
         )
     elif etype == "expect_column_distinct_values_to_be_in_set":

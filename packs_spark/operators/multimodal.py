@@ -160,17 +160,23 @@ def frame_sample(
             rows = []
             for rid, p in zip(pdf[id_col], pdf[binary_col]):
                 if p is not None and bytes(p[:4]) == b"GIF8":
-                    frames = decode_gif_frames(
-                        bytes(p), max_frames=max_frames * every_n
-                    )
-                    rows.extend(
-                        (rid, k, encode_png(frames[i]))
-                        for k, i in enumerate(
-                            range(0, len(frames), every_n)
+                    # corrupt GIFs (truncated/bad LZW) fall through to the
+                    # stand-in instead of failing the task — at corpus
+                    # scale a fraction of payloads is always corrupt
+                    try:
+                        frames = decode_gif_frames(
+                            bytes(p), max_frames=max_frames * every_n
                         )
-                        if k < max_frames
-                    )
-                    continue
+                        rows.extend(
+                            (rid, k, encode_png(frames[i]))
+                            for k, i in enumerate(
+                                range(0, len(frames), every_n)
+                            )
+                            if k < max_frames
+                        )
+                        continue
+                    except Exception:
+                        pass
                 # STAND-IN for codec-dependent containers (ffmpeg):
                 # frame count from byte length, frame bytes = a slice
                 n_frames = (len(p) if p else 0) // every_n
@@ -215,9 +221,12 @@ def resize_images(
                     out.append((rid, w, h, b"\x00" * (w * h)))
                     continue
                 if bytes(p[:8]) == PNG_MAGIC:
-                    img = resize_nearest(decode_png(bytes(p)), (w, h))
-                    out.append((rid, w, h, encode_png(img)))
-                    continue
+                    try:  # corrupt PNG → strided fallback, not a task kill
+                        img = resize_nearest(decode_png(bytes(p)), (w, h))
+                        out.append((rid, w, h, encode_png(img)))
+                        continue
+                    except Exception:
+                        pass
                 arr = np.frombuffer(p, dtype=np.uint8)
                 idx = np.linspace(0, len(arr) - 1, w * h).astype(np.int64)
                 out.append((rid, w, h, arr[idx].tobytes()))

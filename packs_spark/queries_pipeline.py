@@ -241,7 +241,12 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = lsh_verified_pairs(
         df, "doc_id", "text", shingle_k=3, threshold=_CLUSTER_T
     )
-    return cluster_summary(connected_components(pairs))
+    # connected_components materializes its own edge copy (persist +
+    # count/collect inside), so the pair cache can be released here —
+    # without this, 50-query driver runs would accumulate pinned entries
+    summary = cluster_summary(connected_components(pairs))
+    pairs.unpersist()
+    return summary
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,23 @@ def test_frame_sample_real_gif(spark):
         assert img.shape == (6, 6, 3)
         assert int(img[0, 0, 0]) == want
     assert len(by_url["raw"]) == 3
+
+
+def test_frame_sample_and_resize_tolerate_corrupt_payloads(spark):
+    """A payload with valid magic but corrupt body must fall back to the
+    stand-in path, not kill the task (dirty-corpus contract)."""
+    from pyspark.sql import functions as F
+
+    from packs_spark.operators.multimodal import frame_sample, resize_images
+
+    bad_gif = b"GIF89a" + b"\x01\x02\x03" * 40
+    bad_png = PNG_MAGIC + b"\x00\x01\x02" * 40
+    df = spark.createDataFrame(
+        [("g", bytearray(bad_gif)), ("p", bytearray(bad_png))],
+        "url string, payload binary",
+    )
+    frames = frame_sample(df, "payload", "url", every_n=30, max_frames=3)
+    assert frames.where(F.col("url") == "g").count() >= 1  # stand-in rows
+    out = {r["url"]: r for r in resize_images(df, "payload",
+                                              target=(4, 4)).collect()}
+    assert len(out["p"]["resized"]) == 16  # strided fallback contract

@@ -108,3 +108,37 @@ def test_approx_path_plan_has_no_object_hash_aggregate(spark):
         .toString()
     )
     assert "ObjectHashAggregate" in exact_plan  # the cliff the mode avoids
+
+
+def test_binned_multi_column_is_two_jobs_and_matches_single(spark):
+    """The batched binned path must agree with per-column computation
+    (and serves any column count in two passes — the plan property the
+    multi API exists for)."""
+    from packs_spark.operators.quantiles import quantile_values_multi
+
+    df = spark.range(5000).select(
+        (F.col("id") * 1.7).alias("a"),
+        (F.col("id") % 97).cast("double").alias("b"),
+        F.when(F.col("id") < 0, F.col("id")).cast("double").alias("allnull"),
+    )
+    multi = quantile_values_multi(
+        df, ["a", "b", "allnull"], [0.25, 0.75], exact=False
+    )
+    for c in ("a", "b"):
+        single = quantile_values(df, c, [0.25, 0.75], exact=False)
+        assert multi[c] == single
+    assert multi["allnull"] == [None, None]
+
+
+def test_iqr_summary_all_null_column_degrades_gracefully(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        F.when(F.col("id") < 0, F.col("id")).cast("double").alias("dead"),
+    )
+    for exact in (True, False):
+        rows = {r["column"]: r for r in iqr_summary(df, ["x", "dead"],
+                                                    exact=exact).collect()}
+        assert rows["dead"]["q1"] is None
+        assert rows["dead"]["outlier_count"] == 0
+        assert rows["dead"]["normality_score"] is None
+        assert rows["x"]["q1"] is not None
