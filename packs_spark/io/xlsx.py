@@ -22,6 +22,18 @@ from xml.sax.saxutils import escape
 _NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
 _REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
 
+# XML 1.0 valid character ranges — anything else (control chars, lone
+# noncharacters like U+FFFF) cannot be represented even escaped, and
+# would make the workbook unparseable; the writer replaces them with
+# U+FFFD rather than emitting a corrupt file.
+_XML_INVALID = re.compile(
+    "[^\\x09\\x0a\\x0d\\x20-\\ud7ff\\ue000-\\ufffd\\U00010000-\\U0010ffff]"
+)
+
+
+def _xml_safe(s: str) -> str:
+    return _XML_INVALID.sub("�", s)
+
 
 def _col_index(ref: str) -> int:
     """'A' → 0, 'B' → 1, ..., 'AA' → 26."""
@@ -135,9 +147,12 @@ def write_xlsx(path: str, header: list[str], rows: list[list]) -> str:
             return ""  # <v>nan</v>/<v>inf</v> is not a valid OOXML number
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v}</v></c>'
+        # carriage returns must be character references: an XML parser
+        # line-ending-normalizes literal \r to \n on read
+        text = escape(_xml_safe(str(v)), {"\r": "&#13;"})
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-            f"{escape(str(v))}</t></is></c>"
+            f"{text}</t></is></c>"
         )
 
     def row_xml(rn: int, vals: list) -> str:

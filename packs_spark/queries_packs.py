@@ -724,14 +724,17 @@ def q_conversions_validity(spark, sf_dir):
         )
         .otherwise("text")
     )
+    from pyspark.sql import Window as W
+
     g = s.select(dtype.alias("dtype")).groupBy("dtype").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # the grouped frame is <=5 rows -- order it exactly like the SQL's
-    # ORDER BY cnt DESC, dtype ASC and take the modal row
+    # the grouped frame is <=5 rows -- derive the total with a full-frame
+    # window (NOT a second g.agg, which would re-plan the whole scan) and
+    # order exactly like the SQL's ORDER BY cnt DESC, dtype ASC
+    g = g.withColumn("total", F.sum("cnt").over(W.partitionBy()))
     top = g.orderBy(F.desc("cnt"), F.asc("dtype")).limit(1)
-    total = g.agg(F.sum("cnt").alias("total"))
-    dt = top.crossJoin(total).select(
+    dt = top.select(
         F.col("dtype").alias("detected_datatype"),
         F.col("cnt").alias("modal_count"),
         F.col("total").alias("n_values"),

@@ -68,3 +68,13 @@ def test_wide_aggregates_are_one_pass(spark):
 def test_similarity_bruteforce_broadcasts_queries(spark):
     plan = _plan(spark, "similarity_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_conversions_consolidated_plan_bounded_scans(spark):
+    """The consolidated conversions/datatype/boolean row must stay three
+    1-row aggregation branches: at most 3 parquet scans (orders ×2 for
+    the shared messy column + lineitem), cross-joined only via
+    broadcast of single-row sides — never a data-sized CartesianProduct."""
+    plan = _plan(spark, "conversions_validity_orders")
+    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
