@@ -189,12 +189,17 @@ class CheckpointedWriter:
     def _lock_path(self) -> str:
         return os.path.join(self._progress_path, "_writer.lock")
 
+    # timestamp of our own last successful lock write; 0.0 (never) makes a
+    # heartbeat without a prior acquire abort, which is the right default
+    _last_hb: float = 0.0
+
     def _try_create_lock(self) -> bool:
         payload = json.dumps({"pid": os.getpid(), "ts": time.time()})
         try:
             fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
+            self._last_hb = time.time()
             return True
         except FileExistsError:
             return False
@@ -288,8 +293,29 @@ class CheckpointedWriter:
         LOCK_STALE_AFTER without dying may have been legitimately taken
         over — blindly replacing the new holder's lock on wake-up would
         reinstate a split-brain dual writer.  Losing the lock aborts the
-        run (RuntimeError) instead."""
+        run (RuntimeError) instead.
+
+        Two refinements close the check's own failure modes: (1) a
+        TRANSIENT read failure (parse-fail sentinel pid='?') skips this
+        refresh rather than aborting an hours-long healthy run — a real
+        takeover writes a valid pid and is caught on the next wave; (2)
+        staleness is judged from the in-memory timestamp of our own last
+        successful refresh, with a safety margin, BEFORE touching the
+        file: takeover is only possible once our heartbeat is stale, so
+        a fresh-by-our-own-clock holder can replace without a
+        read-then-replace race (no POSIX compare-and-swap exists; the
+        residual window requires stalling for the rest of the horizon
+        between this check and os.replace, microseconds of code)."""
+        now = time.time()
+        if now - self._last_hb > self.LOCK_STALE_AFTER * 0.9:
+            raise RuntimeError(
+                f"writer on {self.base_path} went {now - self._last_hb:.0f}s "
+                "without a heartbeat — another run may have legitimately "
+                "taken the lock over; aborting instead of racing it"
+            )
         held = self._read_lock()
+        if held.get("pid") == "?":
+            return  # unreadable lock file: skip refresh, re-check next wave
         if held.get("pid") != os.getpid():
             raise RuntimeError(
                 f"writer lock on {self.base_path} was taken over by pid "
@@ -301,6 +327,7 @@ class CheckpointedWriter:
         with open(tmp, "w") as f:
             f.write(json.dumps({"pid": os.getpid(), "ts": time.time()}))
         os.replace(tmp, self._lock_path)
+        self._last_hb = time.time()
 
     def _release_lock(self) -> None:
         # only delete a lock we still own — if a (mistaken or raced)

@@ -139,7 +139,12 @@ def _strftime_to_java(fmt: str) -> str:
             while j < len(fmt) and fmt[j] != "%":
                 j += 1
             lit = fmt[i:j]
-            if any(ch.isalpha() or ch == "'" for ch in lit):
+            # quote any literal run containing characters java.time does
+            # not treat as plain literals: letters (pattern chars), the
+            # quote itself, optional-section brackets [ ], and the
+            # reserved # { } — leaving them bare silently changes the
+            # pattern ([..] = optional section) or throws at build time
+            if any(ch.isalpha() or ch in "'[]#{}" for ch in lit):
                 out.append("'" + lit.replace("'", "''") + "'")
             else:
                 out.append(lit)

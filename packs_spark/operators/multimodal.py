@@ -162,18 +162,23 @@ def frame_sample(
                 if p is not None and bytes(p[:4]) == b"GIF8":
                     # corrupt GIFs (truncated/bad LZW) fall through to the
                     # stand-in instead of failing the task — at corpus
-                    # scale a fraction of payloads is always corrupt
+                    # scale a fraction of payloads is always corrupt.
+                    # The sampled rows are built COMPLETELY before being
+                    # appended: extending from a generator inside the try
+                    # would leave partial real rows followed by stand-in
+                    # rows for the same id on a mid-stream failure.
                     try:
                         frames = decode_gif_frames(
                             bytes(p), max_frames=max_frames * every_n
                         )
-                        rows.extend(
+                        gif_rows = [
                             (rid, k, encode_png(frames[i]))
                             for k, i in enumerate(
                                 range(0, len(frames), every_n)
                             )
                             if k < max_frames
-                        )
+                        ]
+                        rows.extend(gif_rows)
                         continue
                     except Exception:
                         pass
