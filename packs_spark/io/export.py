@@ -48,7 +48,11 @@ def export_rows(
         from packs_spark.io.xlsx import write_xlsx
 
         def scalar_or_none(v):
-            if v is None or isinstance(v, (list, dict, bytes, bytearray)):
+            # Arrow-enabled toPandas() returns ArrayType cells as numpy
+            # arrays; pd.isna(ndarray) is elementwise, so gate on
+            # is_scalar before the NaN check to avoid the ambiguous-truth
+            # crash on array-typed columns
+            if v is None or not pd.api.types.is_scalar(v):
                 return v
             return None if pd.isna(v) else v
 

@@ -197,14 +197,19 @@ def _sqlite_path(url: str) -> str:
 
 
 def _read_sqlite(spark: SparkSession, url: str, toq: str) -> DataFrame:
+    import contextlib
     import sqlite3
 
     sql = (
         toq
         if toq.strip().lower().startswith("select")
-        else f'SELECT * FROM "{toq}"'
+        # escape embedded double quotes in the identifier (SQL standard
+        # doubling) so odd table names can't break the quoting
+        else 'SELECT * FROM "{}"'.format(toq.replace('"', '""'))
     )
-    with sqlite3.connect(_sqlite_path(url)) as con:
+    # sqlite3's context manager only scopes the transaction, not the
+    # connection — contextlib.closing prevents a leaked file handle per call
+    with contextlib.closing(sqlite3.connect(_sqlite_path(url))) as con:
         cur = con.execute(sql)
         names = [d[0] for d in cur.description]
         rows = cur.fetchall()

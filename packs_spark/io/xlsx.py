@@ -81,6 +81,22 @@ def _first_sheet_part(z: zipfile.ZipFile) -> str:
     return parts[0][1]
 
 
+def _rich_text(el) -> str:
+    """Concatenate the text runs of an ``<si>``/``<is>`` element: the bare
+    ``t`` child plus each rich run's ``r/t`` — never a blind ``.iter('t')``,
+    which would also collect ``<t>`` inside phonetic ``<rPh>`` runs and
+    splice furigana ruby text into the cell value."""
+    parts = []
+    t = el.find("m:t", _NS)
+    if t is not None:
+        parts.append(t.text or "")
+    for run in el.findall("m:r", _NS):
+        rt = run.find("m:t", _NS)
+        if rt is not None:
+            parts.append(rt.text or "")
+    return "".join(parts)
+
+
 def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
     """First worksheet → (header, data_rows).  Cell values come back as
     str / float / bool / None; the first non-skipped row is the header
@@ -90,12 +106,15 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", _NS):
-                shared.append("".join(t.text or "" for t in si.iter(
-                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
-                )))
+                shared.append(_rich_text(si))
         root = ET.fromstring(z.read(_first_sheet_part(z)))
 
-    rows: list[list] = []
+    # place rows by their 1-based ``r`` attribute (filling omitted rows with
+    # empties): generators commonly write sparse sheetData, and pandas/
+    # openpyxl honor row indices — document order would shift rows up and
+    # break header/skiprows alignment
+    placed: dict[int, list] = {}
+    next_idx = 0
     for row_el in root.findall(".//m:sheetData/m:row", _NS):
         cells: dict[int, object] = {}
         for i, c in enumerate(row_el.findall("m:c", _NS)):
@@ -108,13 +127,7 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
                 cells[idx] = shared[int(v.text)] if v is not None else None
             elif ctype == "inlineStr":
                 is_el = c.find("m:is", _NS)
-                cells[idx] = (
-                    "".join(t.text or "" for t in is_el.iter(
-                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
-                    ))
-                    if is_el is not None
-                    else None
-                )
+                cells[idx] = _rich_text(is_el) if is_el is not None else None
             elif ctype == "b":
                 cells[idx] = v is not None and v.text == "1"
             elif ctype == "str":
@@ -122,7 +135,13 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
             else:  # numeric
                 cells[idx] = float(v.text) if v is not None else None
         width = max(cells) + 1 if cells else 0
-        rows.append([cells.get(i) for i in range(width)])
+        r_attr = row_el.get("r")
+        ridx = int(r_attr) - 1 if r_attr and r_attr.isdigit() else next_idx
+        placed[ridx] = [cells.get(i) for i in range(width)]
+        next_idx = ridx + 1
+
+    n_rows = max(placed) + 1 if placed else 0
+    rows = [placed.get(i, []) for i in range(n_rows)]
 
     rows = rows[skiprows:]
     if not rows:

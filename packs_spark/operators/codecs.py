@@ -11,11 +11,15 @@ real here:
 * WAV (RIFF PCM): stdlib ``wave`` for container parsing, numpy for the
   sample buffer.  8/16/32-bit PCM.
 
-JPEG stays Pillow-gated (a pure-python baseline-JPEG decoder is not a
-sensible use of engine code); callers fall back to these decoders only
-when Pillow is absent, so a real deployment with Pillow installed never
-pays the python filter loop.  At fixture scale (tests) the loops touch
-KB-sized images; the Sub/Up filters — the common ones — are vectorized.
+JPEG pixel decode stays Pillow-gated (a pure-python baseline-JPEG decoder
+is not a sensible use of engine code), but the METADATA tier is
+Pillow-free: :func:`parse_jpeg_header` walks the marker segments to the
+SOF frame header (ITU-T T.81 §B.2) and returns (width, height, channels)
+without touching entropy-coded data.  Callers fall back to these decoders
+only when Pillow is absent, so a real deployment with Pillow installed
+never pays the python filter loop.  At fixture scale (tests) the loops
+touch KB-sized images; the Sub/Up filters — the common ones — are
+vectorized.
 """
 
 from __future__ import annotations
@@ -28,8 +32,56 @@ import zlib
 import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# SOF0..SOF15 frame markers, minus the non-frame markers that share the
+# 0xC0 block: DHT (C4), JPG (C8), DAC (CC)  (ITU-T T.81 table B.1)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG's SOF frame header — metadata
+    only, no pixel decode (that stays Pillow-gated).
+
+    Walks the marker-segment stream (ITU-T T.81 §B.2): each non-standalone
+    marker carries a 2-byte big-endian length, so this is O(#segments) over
+    header bytes and never reads entropy-coded scan data.  Handles fill
+    bytes, standalone markers (SOI/TEM/RSTn), and every SOFn variant
+    (baseline SOF0 through progressive SOF2 and the arithmetic frames).
+
+    Raises ValueError if no SOF marker appears before SOS/EOI/end-of-bytes
+    (truncated or non-JPEG payload).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI marker)")
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:  # desync — tolerate stray bytes between segments
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2  # TEM/SOI/RSTn are standalone — no length field
+            continue
+        if marker in (0xD9, 0xDA):
+            break  # EOI or start-of-scan without a frame header
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if marker in _JPEG_SOF:
+            if i + 10 > n:
+                break
+            _prec, height, width, ncomp = struct.unpack(
+                ">BHHB", payload[i + 4 : i + 10]
+            )
+            return width, height, ncomp
+        if seglen < 2:
+            raise ValueError("corrupt JPEG segment length")
+        i += 2 + seglen
+    raise ValueError("no SOF marker found in JPEG header")
 
 
 def decode_png(payload: bytes) -> np.ndarray:

@@ -456,10 +456,25 @@ def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
     expectations omitted, matching the reference's `continue`)."""
     compiled: list[_Compiled] = []
     for i, exp in enumerate(expectations):
-        if exp["expectation_type"].startswith("soda:"):
-            compiled.append(compile_soda(df, i, exp))
-        else:
-            compiled.append(compile_expectation(df, i, exp))
+        try:
+            if exp["expectation_type"].startswith("soda:"):
+                compiled.append(compile_soda(df, i, exp))
+            else:
+                compiled.append(compile_expectation(df, i, exp))
+        except (ValueError, KeyError, NotImplementedError):
+            # one uncompilable expectation (an unmapped strftime directive
+            # like %f, an unsupported SodaCL check, a malformed kwargs
+            # dict) must not abort the whole suite run — record it as
+            # failed and keep evaluating the rest (the reference's
+            # dispatch likewise skips what it can't handle)
+            compiled.append(
+                _Compiled(
+                    exp["expectation_type"],
+                    exp.get("kwargs", {}).get("column"),
+                    [],
+                    lambda v: False,
+                )
+            )
 
     all_aggs = [a for comp in compiled for a in comp.aggs]
     row = df.agg(*all_aggs).collect()[0] if all_aggs else None

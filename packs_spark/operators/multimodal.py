@@ -248,13 +248,18 @@ def image_features(
     """Real decode → feature-extract over an image column:
     (id, width, height, channels, mean_luma, features[16]) where features
     is an 8-bin luma histogram (L1-normalized) followed by per-channel
-    means scaled to [0,1] (zero-padded).  Undecodable rows keep NULL
-    dims and empty features rather than failing the batch — at corpus
-    scale a fraction of payloads is always corrupt."""
+    means scaled to [0,1] (zero-padded).  JPEG payloads without Pillow
+    still get real (width, height, channels) from the stdlib SOF header
+    parse (codecs.parse_jpeg_header) — pixel-derived columns stay NULL.
+    Fully undecodable rows keep NULL dims and empty features rather than
+    failing the batch — at corpus scale a fraction of payloads is always
+    corrupt."""
     schema = (
         f"{id_col} string, width int, height int, channels int, "
         f"mean_luma double, features array<float>"
     )
+
+    from packs_spark.operators.codecs import JPEG_MAGIC, parse_jpeg_header
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,7 +268,13 @@ def image_features(
                 try:
                     img = decode_image(bytes(p))
                 except Exception:
-                    rows.append((rid, None, None, None, None, []))
+                    wid = hgt = ch = None
+                    if p is not None and bytes(p[:3]) == JPEG_MAGIC:
+                        try:  # metadata tier: header-only, Pillow-free
+                            wid, hgt, ch = parse_jpeg_header(bytes(p))
+                        except ValueError:
+                            pass
+                    rows.append((rid, wid, hgt, ch, None, []))
                     continue
                 hgt, wid = img.shape[:2]
                 ch = img.shape[2] if img.ndim == 3 else 1

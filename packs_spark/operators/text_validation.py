@@ -184,10 +184,10 @@ SELECT
   CAST({below} AS BIGINT) AS below_min,
   CAST({above} AS BIGINT) AS above_max,
   CAST(count({col}) - {below} - {above} AS BIGINT) AS in_range_count,{in_range_pct_sql}
-  coalesce(sum(CASE WHEN {col} = '' THEN 1 ELSE 0 END), 0) AS empty_count,
-  coalesce(sum(CASE WHEN trim({col}) = '' AND {col} <> '' THEN 1 ELSE 0 END), 0) AS whitespace_count,
-  coalesce(sum(CASE WHEN lower({col}) IN ({_PLACEHOLDER_SQL}) THEN 1 ELSE 0 END), 0) AS placeholder_count,
-  coalesce(sum(CASE WHEN {col} <> trim({col}) THEN 1 ELSE 0 END), 0) AS surrounded_count,
+  CAST(coalesce(sum(CASE WHEN {col} = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS empty_count,
+  CAST(coalesce(sum(CASE WHEN trim({col}) = '' AND {col} <> '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS whitespace_count,
+  CAST(coalesce(sum(CASE WHEN lower({col}) IN ({_PLACEHOLDER_SQL}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS placeholder_count,
+  CAST(coalesce(sum(CASE WHEN {col} <> trim({col}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS surrounded_count,
   coalesce(min(CASE WHEN {col} IS NOT NULL THEN {wc} END), 0) AS min_word_count,
   coalesce(max(CASE WHEN {col} IS NOT NULL THEN {wc} END), 0) AS max_word_count
 FROM {table}"""

@@ -587,9 +587,10 @@ def run_pack(
         pkeys = (
             parent.select(F.col(pk).alias("__parent_key")).dropDuplicates()
         )
-        joined = df.join(
-            F.broadcast(pkeys), df[ck] == F.col("__parent_key"), "left"
-        )
+        # no forced broadcast: AQE broadcasts a dim-sized key set on its own
+        # and a fact-sized parent degrades to shuffle instead of OOMing the
+        # driver at the broadcast limit
+        joined = df.join(pkeys, df[ck] == F.col("__parent_key"), "left")
         orphan = (
             df[ck].isNotNull() & F.col("__parent_key").isNull()
         ).cast("long")

@@ -493,13 +493,16 @@ SELECT CAST((SELECT count(*) FROM orders o
 """,
 )
 def q_referential(spark, sf_dir):
-    """J2/J3 in ONE pass: left join against the broadcast parent key set,
-    then a conditional aggregate — orphan_count and child_count come from
-    the same scan (no separate child.count() action)."""
+    """J2/J3 in ONE pass: left join against the parent key set, then a
+    conditional aggregate — orphan_count and child_count come from the same
+    scan (no separate child.count() action).  No forced broadcast hint: AQE
+    picks BroadcastHashJoin when the distinct parent key set fits (plan test
+    asserts it does on the fixture), and degrades to a shuffle join for a
+    fact-sized parent instead of failing at the broadcast limit."""
     child = load(spark, sf_dir, "orders")
     parent = load(spark, sf_dir, "customer")
     joined = child.join(
-        F.broadcast(parent.select("c_custkey").dropDuplicates()),
+        parent.select("c_custkey").dropDuplicates(),
         child.o_custkey == F.col("c_custkey"),
         "left",
     )

@@ -136,6 +136,70 @@ def test_decode_image_jpeg_requires_pillow_or_raises():
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
 
+def _jpeg_bytes(width, height, ncomp=3, sof=0xC0, extras=True):
+    """Structurally valid JPEG marker stream (ITU-T T.81 §B.2) with a real
+    SOF frame header — entropy data is a stub (header parsing never reads
+    it), so this exercises exactly the metadata-tier contract."""
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    if extras:
+        out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+        out += seg(0xFE, b"a comment segment")  # COM
+        out += seg(0xDB, b"\x00" + bytes(64))  # DQT
+    sof_payload = struct.pack(">BHHB", 8, height, width, ncomp) + bytes(3 * ncomp)
+    out += seg(sof, sof_payload)
+    out += seg(0xC4, b"\x00" + bytes(16))  # DHT stub
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    return out + b"\xab\xcd\xef" + b"\xff\xd9"  # entropy stub + EOI
+
+
+def test_jpeg_header_baseline_and_progressive():
+    from packs_spark.operators.codecs import parse_jpeg_header
+
+    assert parse_jpeg_header(_jpeg_bytes(320, 240, ncomp=3)) == (320, 240, 3)
+    # progressive (SOF2) grayscale, no APPn/DQT segments before the frame
+    assert parse_jpeg_header(
+        _jpeg_bytes(17, 4000, ncomp=1, sof=0xC2, extras=False)
+    ) == (17, 4000, 1)
+
+
+def test_jpeg_header_rejects_frameless_and_non_jpeg():
+    from packs_spark.operators.codecs import parse_jpeg_header
+
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_header(b"\x89PNG\r\n\x1a\n")
+    # SOI + APP0 + EOI, never a SOF
+    frameless = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_header(frameless)
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_header(b"\xff\xd8\xff")  # truncated after magic
+
+
+def test_image_features_jpeg_header_dims_without_pillow(spark):
+    """The metadata tier is Pillow-free: a JPEG payload yields real
+    (width, height, channels) from the SOF parse even when pixel decode
+    is unavailable (pixel-derived columns stay NULL)."""
+    from packs_spark.operators.multimodal import image_features
+
+    rows = [("j", bytearray(_jpeg_bytes(64, 48, ncomp=3)))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = image_features(df, "payload").collect()[0]
+    assert (out["width"], out["height"], out["channels"]) == (64, 48, 3)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # stub entropy data is undecodable → luma/features must be NULL/empty
+        assert out["mean_luma"] is None and out["features"] == []
+
+
 def test_image_features_end_to_end(spark):
     from packs_spark.operators.multimodal import image_features
 

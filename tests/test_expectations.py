@@ -214,3 +214,25 @@ def test_gx_round3_types(spark):
         False,  # fewer than 5 columns
         False,  # no cat value parses as a date
     ]
+
+
+def test_uncompilable_expectation_fails_without_killing_suite(spark):
+    """An unmapped strftime directive (%f) or unsupported SodaCL check
+    records success=False for that expectation; the rest of the suite
+    still evaluates (ADVICE r3: one bad format string aborted the run)."""
+    res = evaluate_suite(
+        _df(spark),
+        [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "id"}},
+            {"expectation_type":
+                 "expect_column_values_to_match_strftime_format",
+             "kwargs": {"column": "cat",
+                        "strftime_format": "%Y-%m-%d %H:%M:%S.%f"}},
+            {"expectation_type": "soda:freshness_using_nonsense",
+             "kwargs": {}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1}},
+        ],
+    )
+    assert [r["success"] for r in res] == [True, False, False, True]

@@ -257,3 +257,41 @@ def test_sqlite_source_through_pack(spark, tmp_path):
     m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
     assert m[("non_null", "comment")] == "2"
     assert m[("null_placeholder_text_found", "comment")] == "1"
+
+
+def test_sqlite_star_excludes_views_and_empty_db(spark, tmp_path):
+    """'*' expansion lists BASE TABLES only (views excluded, matching the
+    information_schema filter on real engines); an empty database resolves
+    to zero datasets instead of erroring; quoted identifiers survive."""
+    import sqlite3
+
+    from packs_spark.io.sources import (
+        list_tables,
+        load_database_sources,
+        read_database,
+    )
+
+    db = str(tmp_path / "edge.db")
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE "weird ""name""" (x INTEGER)')
+    con.execute('INSERT INTO "weird ""name""" VALUES (7)')
+    con.execute("CREATE TABLE plain (y TEXT)")
+    con.execute("CREATE VIEW v_plain AS SELECT y FROM plain")
+    con.commit()
+    con.close()
+    conf = {"url": f"sqlite:{db}"}
+
+    assert list_tables(spark, conf) == ["plain", 'weird "name"']
+    got = load_database_sources(spark, {**conf, "table_or_query": "*"})
+    assert set(got) == {"plain", 'weird "name"'}  # no v_plain
+    assert got['weird "name"'].collect()[0]["x"] == 7
+
+    # embedded-double-quote identifier through the single-table path too
+    one = read_database(spark, {**conf, "table_or_query": 'weird "name"'})
+    assert one.count() == 1
+
+    empty = str(tmp_path / "empty.db")
+    sqlite3.connect(empty).close()
+    conf_e = {"url": f"sqlite:{empty}"}
+    assert list_tables(spark, conf_e) == []
+    assert load_database_sources(spark, {**conf_e, "table_or_query": "*"}) == {}

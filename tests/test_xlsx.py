@@ -64,6 +64,39 @@ def test_xlsx_shared_strings_and_sparse_cells(tmp_path):
     assert rows == [["x", None, 9.0]]
 
 
+def test_xlsx_phonetic_runs_and_sparse_rows(tmp_path):
+    """Two producer shapes pandas/openpyxl honor: <rPh> phonetic (furigana)
+    runs inside shared strings must NOT leak into cell values, and omitted
+    empty rows (sparse sheetData) must keep their row indices instead of
+    shifting later rows up."""
+    p = str(tmp_path / "ph.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        # row 2 omitted entirely; row 3 carries the value
+        '<row r="3"><c r="A3" t="s"><v>1</v></c></row>'
+        '<row r="4"><c r="A4" t="inlineStr"><is><r><t>in</t></r>'
+        "<rPh><t>ruby2</t></rPh><r><t>line</t></r></is></c></row>"
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+        'org/spreadsheetml/2006/main">'
+        "<si><t>name</t></si>"
+        # rich-text si: two runs + a phonetic block that must be skipped
+        "<si><r><t>東</t></r><rPh><t>とう</t></rPh><r><t>京</t></r></si>"
+        "</sst>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+    header, rows = read_xlsx(p)
+    assert header == ["name"]
+    # the omitted row 2 survives as a blank (all-None) row, not a shift-up
+    assert rows == [[None], ["東京"], ["inline"]]
+
+
 def test_read_excel_spark_end_to_end(spark, tmp_path):
     from packs_spark.io.sources import read_excel
 
@@ -115,3 +148,22 @@ def test_excel_source_through_pack(spark, tmp_path):
     m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
     assert m[("non_null", "comment")] == "3"
     assert m[("null_placeholder_text_found", "comment")] == "1"
+
+
+def test_export_rows_xlsx_array_column(spark, tmp_path):
+    """Regression (ADVICE r3): Arrow-enabled toPandas() hands ArrayType
+    cells to the xlsx fallback as numpy arrays; the NaN guard must not
+    call pd.isna on them (ambiguous-truth crash).  Arrays export as their
+    string form; scalar NaNs still become empty cells."""
+    from packs_spark.io.export import export_rows
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0], 1.5), ("b", [], None)],
+        "k string, vec array<double>, x double",
+    )
+    p = str(tmp_path / "arr.xlsx")
+    export_rows(df.orderBy("k"), p, fmt="xlsx")
+    header, rows = read_xlsx(p)
+    assert header == ["k", "vec", "x"]
+    assert rows[0][0] == "a" and "1" in rows[0][1] and rows[0][2] == 1.5
+    assert rows[1][2] is None

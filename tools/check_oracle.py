@@ -88,6 +88,21 @@ def main(argv):
         ocols = sorted(odf.columns.tolist())
         orows = [tuple(r) for r in odf.itertuples(index=False)]
         problems = []
+        # Predictive driver-parity guard (round-3 root cause): DuckDB types
+        # uncast sum(CASE...) as HUGEINT, which the pandas/Arrow fetch path
+        # converts to float64; the driver then hashes '0.0' vs Spark's '0'.
+        # Our %.9g canon hides that ('0.0' -> '0'), so catch it by TYPE: any
+        # oracle column pandas typed as float where Spark's schema is
+        # integral means the oracle SQL is missing a CAST(... AS BIGINT).
+        integral = {"byte", "short", "integer", "long"}
+        spark_types = {f.name.lower(): f.dataType.typeName() for f in sdf.schema.fields}
+        for oc in odf.columns:
+            st = spark_types.get(oc.lower())
+            if st in integral and str(odf[oc].dtype).startswith("float"):
+                problems.append(
+                    f"oracle col {oc} is {odf[oc].dtype} but Spark is {st} "
+                    "(uncast HUGEINT? add CAST(... AS BIGINT) in the oracle)"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if [c.lower() for c in scols] != [c.lower() for c in ocols]:
