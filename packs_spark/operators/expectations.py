@@ -50,6 +50,18 @@ SodaCL checks are translated to the same internal form by
 ``parse_sodacl``: ``row_count > 0``, ``missing_count(col) = 0``,
 ``duplicate_count(col) < N``, ``min/max/avg/sum(col) <op> N``.
 
+dqops-catalog checks (dqops-checks-reference.md) ride the same pass via
+the ``dqops:`` prefix — see :func:`compile_dqops`:
+  WHITESPACE §18: empty_text / whitespace_text / null_placeholder_text /
+                  text_surrounded_by_whitespace, each _found (max_count)
+                  and _percent (max_percent) variants
+  DATETIME  §9:   date_values_in_future_percent, date_in_range_percent,
+                  text_match_date_format_percent
+  UNIQUENESS §17: distinct_count, distinct_percent, duplicate_count,
+                  duplicate_percent (the static checks; the *_change /
+                  *_anomaly variants need a metric history — that lives
+                  in events_metric_history_delta / volume_anomaly_events)
+
 **Extension point**: the reference dispatches ANY ``expect_*`` name via
 ``getattr`` on a GX validator (great_expectations_pack/main.py:45-47);
 here each type is a branch in :func:`compile_expectation` producing a
@@ -450,6 +462,128 @@ def compile_soda(df: DataFrame, idx: int, exp: dict) -> _Compiled:
     return _Compiled(exp.get("_raw", metric), col, aggs, verdict)
 
 
+def compile_dqops(df: DataFrame, idx: int, exp: dict) -> _Compiled:
+    """dqops-catalog checks (dqops-checks-reference.md — WHITESPACE §18,
+    DATETIME §9, UNIQUENESS §17) compiled onto the same single-pass agg.
+
+    Check names use the ``dqops:`` prefix (``dqops:empty_text_found``).
+    Percent checks follow the dqops 0–100 scale; denominators are NON-NULL
+    row counts (the text_validation pack's convention — NULLs are counted
+    by the NULLS family, not double-counted here).  An empty column passes
+    max-bounded checks (0 ≤ max) and fails min-bounded ones.
+
+    ``date_values_in_future_percent`` accepts an optional ``now`` kwarg
+    (ISO timestamp) so tests and cross-engine oracles stay deterministic;
+    production callers omit it and get ``current_timestamp()``.
+    """
+    from packs_spark.functions import text as TX
+
+    kw = exp.get("kwargs", {})
+    check = exp["expectation_type"].split(":", 1)[1]
+    col_name = kw.get("column")
+    c = F.col(col_name) if col_name else None
+    label = exp["expectation_type"]
+
+    _TEXT_PREDS = {
+        "empty_text": TX.is_empty,
+        "whitespace_text": TX.is_whitespace_only,
+        "null_placeholder_text": TX.is_null_placeholder,
+        "text_surrounded_by_whitespace": TX.is_surrounded_by_whitespace,
+    }
+    for base, predf in _TEXT_PREDS.items():
+        if check == f"{base}_found":
+            mx = kw.get("max_count", 0)
+            return _Compiled(
+                label, col_name,
+                [TX.count_if(predf(c)).alias(f"c{idx}_v")],
+                lambda v, mx=mx: (v[0] or 0) <= mx,
+            )
+        if check == f"{base}_percent":
+            mx = float(kw.get("max_percent", 0.0))
+            return _Compiled(
+                label, col_name,
+                [TX.count_if(predf(c)).alias(f"c{idx}_v"),
+                 F.count(c).alias(f"c{idx}_nn")],
+                lambda v, mx=mx: (v[1] or 0) == 0
+                or 100.0 * (v[0] or 0) / v[1] <= mx,
+            )
+
+    if check == "date_values_in_future_percent":
+        now = (
+            F.lit(kw["now"]).cast("timestamp")
+            if "now" in kw
+            else F.current_timestamp()
+        )
+        ts = c.cast("timestamp")
+        mx = float(kw.get("max_percent", 0.0))
+        return _Compiled(
+            label, col_name,
+            [TX.count_if(ts > now).alias(f"c{idx}_v"),
+             F.count(ts).alias(f"c{idx}_nn")],
+            lambda v, mx=mx: (v[1] or 0) == 0
+            or 100.0 * (v[0] or 0) / v[1] <= mx,
+        )
+    if check == "date_in_range_percent":
+        d = c.cast("date")
+        lo = F.lit(kw["min_date"]).cast("date")
+        hi = F.lit(kw["max_date"]).cast("date")
+        mn = float(kw.get("min_percent", 100.0))
+        return _Compiled(
+            label, col_name,
+            [TX.count_if((d >= lo) & (d <= hi)).alias(f"c{idx}_v"),
+             F.count(d).alias(f"c{idx}_nn")],
+            lambda v, mn=mn: (v[1] or 0) > 0
+            and 100.0 * (v[0] or 0) / v[1] >= mn,
+        )
+    if check == "text_match_date_format_percent":
+        fmt = _strftime_to_java(kw["date_format"])
+        ok = F.try_to_timestamp(c.cast("string"), F.lit(fmt)).isNotNull()
+        mn = float(kw.get("min_percent", 100.0))
+        return _Compiled(
+            label, col_name,
+            [TX.count_if(c.isNotNull() & ok).alias(f"c{idx}_v"),
+             F.count(c).alias(f"c{idx}_nn")],
+            lambda v, mn=mn: (v[1] or 0) > 0
+            and 100.0 * (v[0] or 0) / v[1] >= mn,
+        )
+
+    if check == "distinct_count":
+        lo, hi = kw.get("min_value"), kw.get("max_value")
+        return _Compiled(
+            label, col_name,
+            [F.countDistinct(c).alias(f"c{idx}_nd")],
+            lambda v, lo=lo, hi=hi: _between(v[0] or 0, lo, hi),
+        )
+    if check == "distinct_percent":
+        lo = kw.get("min_percent")
+        hi = kw.get("max_percent")
+        return _Compiled(
+            label, col_name,
+            [F.countDistinct(c).alias(f"c{idx}_nd"),
+             F.count(c).alias(f"c{idx}_nn")],
+            lambda v, lo=lo, hi=hi: (v[1] or 0) > 0
+            and _between(100.0 * (v[0] or 0) / v[1], lo, hi),
+        )
+    if check == "duplicate_count":
+        mx = kw.get("max_count", 0)
+        return _Compiled(
+            label, col_name,
+            [F.count(c).alias(f"c{idx}_nn"),
+             F.countDistinct(c).alias(f"c{idx}_nd")],
+            lambda v, mx=mx: (v[0] or 0) - (v[1] or 0) <= mx,
+        )
+    if check == "duplicate_percent":
+        mx = float(kw.get("max_percent", 0.0))
+        return _Compiled(
+            label, col_name,
+            [F.count(c).alias(f"c{idx}_nn"),
+             F.countDistinct(c).alias(f"c{idx}_nd")],
+            lambda v, mx=mx: (v[0] or 0) == 0
+            or 100.0 * ((v[0] or 0) - (v[1] or 0)) / v[0] <= mx,
+        )
+    raise ValueError(f"unsupported dqops check: {check!r}")
+
+
 def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
     """Evaluate the whole suite in ONE aggregation pass.  Returns
     [{expectation, column, success}] in suite order (skipped/unknown
@@ -459,6 +593,8 @@ def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
         try:
             if exp["expectation_type"].startswith("soda:"):
                 compiled.append(compile_soda(df, i, exp))
+            elif exp["expectation_type"].startswith("dqops:"):
+                compiled.append(compile_dqops(df, i, exp))
             else:
                 compiled.append(compile_expectation(df, i, exp))
         except (ValueError, KeyError, NotImplementedError):

@@ -734,6 +734,34 @@ def run_pack(
             "schemas": schema_stream(spark, df, dataset),
         }
 
+    if pack_name == "dqops_checks":
+        # dqops-catalog checks (dqops-checks-reference.md): job.checks is
+        # [{"check": "<name>", "column": ..., <params>}]; each rides the
+        # same single-pass evaluate_suite agg via the dqops: prefix
+        from packs_spark.io.envelope import metric_rows_to_df
+        from packs_spark.operators.expectations import evaluate_suite
+
+        suite = [
+            {"expectation_type": f"dqops:{c['check']}",
+             "kwargs": {k: v for k, v in c.items() if k != "check"}}
+            for c in job.get("checks", [])
+        ]
+        res = evaluate_suite(df, suite)
+        rows = [
+            (r["expectation"], str(r["success"]), "column",
+             r.get("column") or dataset, dataset)
+            for r in res
+        ]
+        score = (
+            sum(1 for r in res if r["success"]) / len(res) if res else 1.0
+        )
+        rows.append(("score", str(round(score, 2)), "dataset", dataset, None))
+        return {
+            "metrics": metric_rows_to_df(spark, rows),
+            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+            "schemas": schema_stream(spark, df, dataset),
+        }
+
     if pack_name == "fhir_compliance":
         from packs_spark.operators.fhir import compliance_summary
 
@@ -759,5 +787,5 @@ def run_pack(
         "schema_scanner, numeric_validation, pii_scanner, data_compare, "
         "timeliness, pattern_validation, accuracy, referential_integrity, "
         "outlier_detection, data_drift, great_expectations, soda, "
-        "fhir_compliance"
+        "dqops_checks, fhir_compliance"
     )

@@ -1280,12 +1280,42 @@ _GX_SUITE = [
      "kwargs": {"min_value": 5, "max_value": 20}},
     {"expectation_type": "expect_column_pair_values_a_to_be_greater_than_b",
      "kwargs": {"column_A": "o_totalprice", "column_B": "o_orderkey"}},
+    # round-4 additions — dqops catalog families expressible as Column
+    # predicates (dqops-checks-reference.md §9 DATETIME, §17 UNIQUENESS,
+    # §18 WHITESPACE), dispatched via the dqops: prefix
+    {"expectation_type": "dqops:empty_text_found",
+     "kwargs": {"column": "o_orderstatus", "max_count": 0}},
+    {"expectation_type": "dqops:whitespace_text_found",
+     "kwargs": {"column": "o_orderstatus", "max_count": 0}},
+    {"expectation_type": "dqops:null_placeholder_text_found",
+     "kwargs": {"column": "o_orderpriority", "max_count": 0}},
+    {"expectation_type": "dqops:text_surrounded_by_whitespace_percent",
+     "kwargs": {"column": "o_orderpriority", "max_percent": 0.0}},
+    # fixed `now` so the check is deterministic cross-engine and cross-run
+    {"expectation_type": "dqops:date_values_in_future_percent",
+     "kwargs": {"column": "o_orderdate", "max_percent": 0.0,
+                "now": "2035-01-01 00:00:00"}},
+    {"expectation_type": "dqops:date_in_range_percent",
+     "kwargs": {"column": "o_orderdate", "min_date": "1990-01-01",
+                "max_date": "2010-12-31", "min_percent": 100.0}},
+    {"expectation_type": "dqops:text_match_date_format_percent",
+     "kwargs": {"column": "o_orderdate",
+                "date_format": "%Y-%m-%d %H:%M:%S", "min_percent": 100.0}},
+    {"expectation_type": "dqops:distinct_percent",
+     "kwargs": {"column": "o_orderkey", "min_percent": 100.0,
+                "max_percent": 100.0}},
+    # orders repeats customers ~10:1, so this max_count=0 check FAILS —
+    # the suite needs a red dqops row to prove verdicts aren't all-pass
+    {"expectation_type": "dqops:duplicate_count",
+     "kwargs": {"column": "o_custkey", "max_count": 0}},
 ]
+
+_PH_SQL = ", ".join(f"'{p}'" for p in TX.NULL_PLACEHOLDERS)
 
 
 @register(
     "expectations_suite_orders",
-    oracle="""
+    oracle=f"""
 WITH r AS (
   SELECT 0 AS idx, 'expect_table_row_count_to_be_between' AS expectation,
          CAST(NULL AS VARCHAR) AS "column",
@@ -1381,6 +1411,60 @@ WITH r AS (
                  = sum(CASE WHEN o_totalprice IS NOT NULL
                              AND o_orderkey IS NOT NULL
                             THEN 1 ELSE 0 END)
+          FROM orders)
+  UNION ALL
+  SELECT 22, 'dqops:empty_text_found', 'o_orderstatus',
+         (SELECT coalesce(sum(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0
+                              END), 0) <= 0 FROM orders)
+  UNION ALL
+  SELECT 23, 'dqops:whitespace_text_found', 'o_orderstatus',
+         (SELECT coalesce(sum(CASE WHEN trim(o_orderstatus) = ''
+                               AND o_orderstatus <> '' THEN 1 ELSE 0
+                              END), 0) <= 0 FROM orders)
+  UNION ALL
+  SELECT 24, 'dqops:null_placeholder_text_found', 'o_orderpriority',
+         (SELECT coalesce(sum(CASE WHEN lower(o_orderpriority)
+                               IN ({_PH_SQL}) THEN 1 ELSE 0 END), 0) <= 0
+          FROM orders)
+  UNION ALL
+  SELECT 25, 'dqops:text_surrounded_by_whitespace_percent',
+         'o_orderpriority',
+         (SELECT count(o_orderpriority) = 0
+                 OR 100.0 * sum(CASE WHEN o_orderpriority
+                                      <> trim(o_orderpriority)
+                                     THEN 1 ELSE 0 END)
+                    / count(o_orderpriority) <= 0.0 FROM orders)
+  UNION ALL
+  SELECT 26, 'dqops:date_values_in_future_percent', 'o_orderdate',
+         (SELECT count(o_orderdate) = 0
+                 OR 100.0 * sum(CASE WHEN o_orderdate
+                                      > TIMESTAMP '2035-01-01 00:00:00'
+                                     THEN 1 ELSE 0 END)
+                    / count(o_orderdate) <= 0.0 FROM orders)
+  UNION ALL
+  SELECT 27, 'dqops:date_in_range_percent', 'o_orderdate',
+         (SELECT count(o_orderdate) > 0
+             AND 100.0 * sum(CASE WHEN CAST(o_orderdate AS DATE)
+                                   BETWEEN DATE '1990-01-01'
+                                       AND DATE '2010-12-31'
+                                  THEN 1 ELSE 0 END)
+                 / count(o_orderdate) >= 100.0 FROM orders)
+  UNION ALL
+  SELECT 28, 'dqops:text_match_date_format_percent', 'o_orderdate',
+         (SELECT count(o_orderdate) > 0
+             AND 100.0 * sum(CASE WHEN try_strptime(
+                                    CAST(o_orderdate AS VARCHAR),
+                                    '%Y-%m-%d %H:%M:%S') IS NOT NULL
+                                  THEN 1 ELSE 0 END)
+                 / count(o_orderdate) >= 100.0 FROM orders)
+  UNION ALL
+  SELECT 29, 'dqops:distinct_percent', 'o_orderkey',
+         (SELECT count(o_orderkey) > 0
+             AND 100.0 * count(DISTINCT o_orderkey) / count(o_orderkey)
+                 BETWEEN 100.0 AND 100.0 FROM orders)
+  UNION ALL
+  SELECT 30, 'dqops:duplicate_count', 'o_custkey',
+         (SELECT count(o_custkey) - count(DISTINCT o_custkey) <= 0
           FROM orders)
 )
 SELECT idx, expectation, "column", success,

@@ -236,3 +236,65 @@ def test_uncompilable_expectation_fails_without_killing_suite(spark):
         ],
     )
     assert [r["success"] for r in res] == [True, False, False, True]
+
+
+def test_dqops_checks(spark):
+    """dqops-catalog checks (dqops: prefix): WHITESPACE found/percent,
+    DATETIME future/range/format, UNIQUENESS distinct/duplicate — all in
+    the same single-pass agg as the GX types."""
+    pdf = pd.DataFrame(
+        {
+            "txt": ["ok", "", "  ", " pad ", "n/a", None],
+            "ts": ["2020-01-05 00:00:00", "2020-06-01 00:00:00",
+                   "2099-01-01 00:00:00", None, "2020-03-01 00:00:00",
+                   "2020-04-01 00:00:00"],
+            "k": [1, 2, 2, 3, 4, 4],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = evaluate_suite(
+        df,
+        [
+            {"expectation_type": "dqops:empty_text_found",
+             "kwargs": {"column": "txt", "max_count": 0}},       # 1 empty
+            {"expectation_type": "dqops:empty_text_found",
+             "kwargs": {"column": "txt", "max_count": 1}},
+            {"expectation_type": "dqops:whitespace_text_found",
+             "kwargs": {"column": "txt", "max_count": 0}},       # "  "
+            {"expectation_type": "dqops:null_placeholder_text_percent",
+             "kwargs": {"column": "txt", "max_percent": 20.0}},  # 1/5 = 20%
+            {"expectation_type":
+                 "dqops:text_surrounded_by_whitespace_found",
+             "kwargs": {"column": "txt", "max_count": 1}},  # "  "+" pad "=2
+            {"expectation_type": "dqops:date_values_in_future_percent",
+             "kwargs": {"column": "ts", "max_percent": 0.0,
+                        "now": "2030-01-01 00:00:00"}},     # 2099 is future
+            {"expectation_type": "dqops:date_values_in_future_percent",
+             "kwargs": {"column": "ts", "max_percent": 20.0,
+                        "now": "2030-01-01 00:00:00"}},     # 1/5 = 20%
+            {"expectation_type": "dqops:date_in_range_percent",
+             "kwargs": {"column": "ts", "min_date": "2020-01-01",
+                        "max_date": "2020-12-31", "min_percent": 80.0}},
+            {"expectation_type": "dqops:text_match_date_format_percent",
+             "kwargs": {"column": "ts",
+                        "date_format": "%Y-%m-%d %H:%M:%S",
+                        "min_percent": 100.0}},
+            {"expectation_type": "dqops:distinct_count",
+             "kwargs": {"column": "k", "min_value": 4, "max_value": 4}},
+            {"expectation_type": "dqops:distinct_percent",
+             "kwargs": {"column": "k", "min_percent": 60.0,
+                        "max_percent": 70.0}},              # 4/6 = 66.7%
+            {"expectation_type": "dqops:duplicate_count",
+             "kwargs": {"column": "k", "max_count": 1}},    # 6-4 = 2 dups
+            {"expectation_type": "dqops:duplicate_percent",
+             "kwargs": {"column": "k", "max_percent": 40.0}},  # 33.3%
+            {"expectation_type": "dqops:not_a_real_check",
+             "kwargs": {"column": "k"}},                    # contained fail
+        ],
+    )
+    assert [r["success"] for r in res] == [
+        False, True, False, True, False,
+        False, True, True, True,
+        True, True, False, True,
+        False,
+    ]

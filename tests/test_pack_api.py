@@ -337,3 +337,34 @@ def test_data_compare_list_mismatch_falls_back_to_first(spark, tmp_path):
         )
     m = {(r.key, r.scope): r.value for r in out["metrics"].collect()}
     assert m[("rows_in_common", "s")] == "1"
+
+
+def test_dqops_checks_pack(spark, tmp_path):
+    """dqops_checks pack: catalog checks by name via job.checks, per-check
+    pass/fail metrics plus a dataset score (same envelope as GX/soda)."""
+    src = tmp_path / "dq.csv"
+    src.write_text(
+        'id,name\n1,alice\n2,"   "\n3," bob "\n4,alice\n'
+    )
+    out = run_pack(
+        spark, "dqops_checks",
+        {"type": "csv", "path": str(src), "name": "dq"},
+        {"job": {"checks": [
+            {"check": "whitespace_text_found", "column": "name",
+             "max_count": 0},
+            {"check": "text_surrounded_by_whitespace_found",
+             "column": "name", "max_count": 2},
+            {"check": "distinct_count", "column": "id",
+             "min_value": 4, "max_value": 4},
+            {"check": "duplicate_percent", "column": "name",
+             "max_percent": 30.0},
+        ]}},
+    )
+    m = {r.key: (r.value, r.perimeter, r.scope)
+         for r in out["metrics"].collect()}
+    assert m["dqops:whitespace_text_found"] == ("False", "column", "name")
+    assert m["dqops:text_surrounded_by_whitespace_found"][0] == "True"
+    assert m["dqops:distinct_count"] == ("True", "column", "id")
+    # 4 non-null names, 3 distinct -> 25% duplicates <= 30
+    assert m["dqops:duplicate_percent"][0] == "True"
+    assert m["score"] == ("0.75", "dataset", "dq")
