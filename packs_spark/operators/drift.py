@@ -32,6 +32,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def grouped_value_counts(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """(x, ca, cb) per distinct value — the ONE shuffle of the KS plan.
+
+    Raw rows meet exactly one union + groupBy (partial aggregation
+    map-side); every downstream KS step (cardinality probe, bucket
+    boundaries, per-bucket ECDF windows) operates on this distinct-value
+    frame, so the expensive pass is a single HashAggregate exchange no
+    matter how many raw rows feed it."""
+    a = df_a.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    b = df_b.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
+    tagged = a.withColumn("is_a", F.lit(1)).unionByName(
+        b.withColumn("is_a", F.lit(0))
+    )
+    return tagged.groupBy("x").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+
+
 def ks_2sample(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -39,15 +60,7 @@ def ks_2sample(
     n_buckets: int = 64,
 ) -> tuple[float, int, int]:
     """Return (D, n_a, n_b)."""
-    a = df_a.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
-    b = df_b.select(F.col(col).alias("x")).where(F.col(col).isNotNull())
-    tagged = a.withColumn("is_a", F.lit(1)).unionByName(
-        b.withColumn("is_a", F.lit(0))
-    )
-    g = tagged.groupBy("x").agg(
-        F.sum("is_a").alias("ca"),
-        F.sum(1 - F.col("is_a")).alias("cb"),
-    )
+    g = grouped_value_counts(df_a, df_b, col)
     # Adaptive small-cardinality fast path: the grouped frame has one row
     # per DISTINCT value — for low-cardinality columns (flags, quantities,
     # ratings) that is tiny regardless of row count, and the exact sup is

@@ -34,7 +34,49 @@ SHOW = [
     ("dedup_clusters_documents", "scale-tier near-dup clustering — MinHash-LSH band join generates candidates; exact array_intersect verify touches ONLY candidate pairs (no all-pairs shingle join); CC label propagation on the verified edges"),
     ("timeliness_orders", "A11+A12 consolidated — date freshness AND year-window validity in one scan, one partial+final agg"),
     ("profiling_table_stats", "table stats + per-row validity conjunction (consolidated row_validity) — one scan, one wide agg"),
+    ("similarity_topk_lsh", "hyperplane-LSH ANN — bucket equi-join generates candidates, exact cosine re-verify touches candidates only; corpus never shuffles full-width before bucketing"),
 ]
+
+# queries whose registered result is a driver-materialized scalar frame:
+# explain the DISTRIBUTED intermediate that does the heavy lifting instead
+def _intermediate_sections(spark, sf):
+    from pyspark.sql import functions as F
+
+    from packs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from packs_spark.operators.drift import grouped_value_counts
+    from packs_spark.registry import load
+
+    docs = load(spark, sf, "documents")
+    # persist + materialize exactly as the registered query does: the band
+    # self-join then reads InMemoryTableScan twice instead of re-running
+    # the signature UDF per side
+    sigs = minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=64).persist()
+    sigs.count()
+    cand = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+
+    li = load(spark, sf, "lineitem")
+    cut = F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    g = grouped_value_counts(
+        li.where(cut), li.where(~cut), "l_extendedprice"
+    )
+    return [
+        ("dedup_minhash_documents (candidate-pair frame)",
+         "MinHash near-dup — JVM xxhash64 shingles, numpy band remix in ONE "
+         "ArrowEvalPython crossing (signatures persisted: the band "
+         "self-join reads InMemoryTableScan on both sides), band equi-join "
+         "on 8-byte keys (never all-pairs); the registered query reduces "
+         "this frame to scalars",
+         cand),
+        ("drift_ks_lineitem (grouped-ECDF frame)",
+         "two-sample KS — raw rows meet ONE union+groupBy (partial agg "
+         "before the exchange); buckets/windows downstream run over "
+         "distinct values only; the registered query reduces to (D, n_a, "
+         "n_b) scalars",
+         g),
+    ]
 
 
 def main() -> None:
@@ -49,8 +91,9 @@ def main() -> None:
            "Generated by tools/explain_plans.py (`.explain('formatted')` at sf0.01;",
            "plans are scale-invariant apart from AQE's runtime coalescing).",
            ""]
-    for name, note in SHOW:
-        df = qs[name](spark, sf)
+    shown = [(name, note, qs[name](spark, sf)) for name, note in SHOW]
+    shown += _intermediate_sections(spark, sf)
+    for name, note, df in shown:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
