@@ -140,10 +140,29 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
         placed[ridx] = [cells.get(i) for i in range(width)]
         next_idx = ridx + 1
 
-    n_rows = max(placed) + 1 if placed else 0
-    rows = [placed.get(i, []) for i in range(n_rows)]
+    # Gap filling is budgeted: one stray formatted cell at the sheet
+    # bottom (Excel keeps a <row> for any touched cell, r up to 1048576)
+    # must not materialize a million placeholder rows.  Interior gaps are
+    # preserved up to the budget; beyond it the gap collapses (the row
+    # order is still kept).
+    _GAP_BUDGET = 10_000
+    rows: list[list] = []
+    budget = _GAP_BUDGET
+    prev = -1
+    for ridx in sorted(placed):
+        gap = ridx - prev - 1
+        fill = min(gap, budget)
+        rows.extend([] for _ in range(fill))
+        budget -= fill
+        rows.append(placed[ridx])
+        prev = ridx
 
     rows = rows[skiprows:]
+    # drop leading fully-empty rows before header extraction: a blank
+    # first sheet row must not yield an empty header that truncates every
+    # data row to zero columns (pandas likewise skips leading blanks)
+    while rows and not any(v is not None for v in rows[0]):
+        rows = rows[1:]
     if not rows:
         return [], []
     header = ["" if h is None else str(h) for h in rows[0]]

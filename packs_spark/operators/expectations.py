@@ -481,7 +481,13 @@ def compile_dqops(df: DataFrame, idx: int, exp: dict) -> _Compiled:
     kw = exp.get("kwargs", {})
     check = exp["expectation_type"].split(":", 1)[1]
     col_name = kw.get("column")
-    c = F.col(col_name) if col_name else None
+    # every dqops check here is column-level; without this, a missing
+    # column would either silently PASS (text predicates against a None
+    # operand are NULL for every row) or raise a PySpark error class the
+    # suite containment doesn't catch
+    if not col_name:
+        raise ValueError(f"dqops check {check!r} requires a 'column' kwarg")
+    c = F.col(col_name)
     label = exp["expectation_type"]
 
     _TEXT_PREDS = {
@@ -591,9 +597,10 @@ def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
     compiled: list[_Compiled] = []
     for i, exp in enumerate(expectations):
         try:
-            if exp["expectation_type"].startswith("soda:"):
+            etype = exp["expectation_type"]
+            if etype.startswith("soda:"):
                 compiled.append(compile_soda(df, i, exp))
-            elif exp["expectation_type"].startswith("dqops:"):
+            elif etype.startswith("dqops:"):
                 compiled.append(compile_dqops(df, i, exp))
             else:
                 compiled.append(compile_expectation(df, i, exp))
@@ -602,11 +609,15 @@ def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
             # like %f, an unsupported SodaCL check, a malformed kwargs
             # dict) must not abort the whole suite run — record it as
             # failed and keep evaluating the rest (the reference's
-            # dispatch likewise skips what it can't handle)
+            # dispatch likewise skips what it can't handle).  .get here:
+            # the missing key may BE expectation_type itself, and the
+            # fallback must not re-raise from inside the containment
             compiled.append(
                 _Compiled(
-                    exp["expectation_type"],
-                    exp.get("kwargs", {}).get("column"),
+                    str(exp.get("expectation_type", "<missing type>")),
+                    exp.get("kwargs", {}).get("column")
+                    if isinstance(exp.get("kwargs"), dict)
+                    else None,
                     [],
                     lambda v: False,
                 )

@@ -92,6 +92,29 @@ def _dataset_metrics(wide: DataFrame, dataset: str) -> DataFrame:
     return wide.select(F.inline(F.array(*structs)))
 
 
+def _suite_envelope(spark, df, dataset: str, suite: list) -> dict:
+    """Shared evaluation + envelope for the expectation-suite packs
+    (great_expectations / dqops_checks): per-check pass/fail metric rows
+    plus the dataset-level score — one place so the two packs can't
+    silently diverge on the envelope convention."""
+    from packs_spark.io.envelope import metric_rows_to_df
+    from packs_spark.operators.expectations import evaluate_suite
+
+    res = evaluate_suite(df, suite)
+    rows = [
+        (r["expectation"], str(r["success"]), "column",
+         r.get("column") or dataset, dataset)
+        for r in res
+    ]
+    score = sum(1 for r in res if r["success"]) / len(res) if res else 1.0
+    rows.append(("score", str(round(score, 2)), "dataset", dataset, None))
+    return {
+        "metrics": metric_rows_to_df(spark, rows),
+        "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
+        "schemas": schema_stream(spark, df, dataset),
+    }
+
+
 def run_pack(
     spark: SparkSession,
     pack_name: str,
@@ -696,24 +719,7 @@ def run_pack(
         }
 
     if pack_name == "great_expectations":
-        from packs_spark.io.envelope import metric_rows_to_df
-        from packs_spark.operators.expectations import evaluate_suite
-
-        res = evaluate_suite(df, job.get("expectations", []))
-        rows = [
-            (r["expectation"], str(r["success"]), "column",
-             r.get("column") or dataset, dataset)
-            for r in res
-        ]
-        score = (
-            sum(1 for r in res if r["success"]) / len(res) if res else 1.0
-        )
-        rows.append(("score", str(round(score, 2)), "dataset", dataset, None))
-        return {
-            "metrics": metric_rows_to_df(spark, rows),
-            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
-            "schemas": schema_stream(spark, df, dataset),
-        }
+        return _suite_envelope(spark, df, dataset, job.get("expectations", []))
 
     if pack_name == "soda":
         from packs_spark.io.envelope import metric_rows_to_df
@@ -737,30 +743,16 @@ def run_pack(
     if pack_name == "dqops_checks":
         # dqops-catalog checks (dqops-checks-reference.md): job.checks is
         # [{"check": "<name>", "column": ..., <params>}]; each rides the
-        # same single-pass evaluate_suite agg via the dqops: prefix
-        from packs_spark.io.envelope import metric_rows_to_df
-        from packs_spark.operators.expectations import evaluate_suite
-
+        # same single-pass evaluate_suite agg via the dqops: prefix.
+        # .get("check"): a malformed entry becomes dqops:<missing check>,
+        # which compile_dqops rejects and the suite records as failed
+        # instead of the whole pack run aborting on a KeyError
         suite = [
-            {"expectation_type": f"dqops:{c['check']}",
+            {"expectation_type": f"dqops:{c.get('check', '<missing check>')}",
              "kwargs": {k: v for k, v in c.items() if k != "check"}}
             for c in job.get("checks", [])
         ]
-        res = evaluate_suite(df, suite)
-        rows = [
-            (r["expectation"], str(r["success"]), "column",
-             r.get("column") or dataset, dataset)
-            for r in res
-        ]
-        score = (
-            sum(1 for r in res if r["success"]) / len(res) if res else 1.0
-        )
-        rows.append(("score", str(round(score, 2)), "dataset", dataset, None))
-        return {
-            "metrics": metric_rows_to_df(spark, rows),
-            "recommendations": _empty(spark, RECOMMENDATION_SCHEMA),
-            "schemas": schema_stream(spark, df, dataset),
-        }
+        return _suite_envelope(spark, df, dataset, suite)
 
     if pack_name == "fhir_compliance":
         from packs_spark.operators.fhir import compliance_summary

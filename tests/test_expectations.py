@@ -298,3 +298,23 @@ def test_dqops_checks(spark):
         True, True, False, True,
         False,
     ]
+
+
+def test_malformed_expectations_are_contained(spark):
+    """Review findings: a dqops check without a column, a dict without
+    expectation_type, and an unknown dqops name all record success=False
+    without aborting the suite (and without silently passing)."""
+    res = evaluate_suite(
+        _df(spark),
+        [
+            {"expectation_type": "dqops:empty_text_found",
+             "kwargs": {"max_count": 0}},          # no column -> fail
+            {"expectation_type": "dqops:distinct_count",
+             "kwargs": {"min_value": 1}},          # no column -> fail
+            {"kwargs": {"column": "id"}},          # no type -> fail
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1}},
+        ],
+    )
+    assert [r["success"] for r in res] == [False, False, False, True]
+    assert res[2]["expectation"] == "<missing type>"

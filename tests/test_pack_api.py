@@ -368,3 +368,23 @@ def test_dqops_checks_pack(spark, tmp_path):
     # 4 non-null names, 3 distinct -> 25% duplicates <= 30
     assert m["dqops:duplicate_percent"][0] == "True"
     assert m["score"] == ("0.75", "dataset", "dq")
+
+
+def test_dqops_pack_contains_malformed_check(spark, tmp_path):
+    """A job.checks entry without a 'check' key becomes a failed row, not
+    a KeyError aborting the pack run."""
+    src = tmp_path / "c.csv"
+    src.write_text("id\n1\n2\n")
+    out = run_pack(
+        spark, "dqops_checks",
+        {"type": "csv", "path": str(src), "name": "c"},
+        {"job": {"checks": [
+            {"column": "id", "max_count": 0},  # no "check" key
+            {"check": "distinct_count", "column": "id",
+             "min_value": 2, "max_value": 2},
+        ]}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["dqops:<missing check>"] == "False"
+    assert m["dqops:distinct_count"] == "True"
+    assert m["score"] == "0.5"

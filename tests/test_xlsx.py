@@ -167,3 +167,28 @@ def test_export_rows_xlsx_array_column(spark, tmp_path):
     assert header == ["k", "vec", "x"]
     assert rows[0][0] == "a" and "1" in rows[0][1] and rows[0][2] == 1.5
     assert rows[1][2] is None
+
+
+def test_xlsx_blank_first_row_and_bottom_stray_cell(tmp_path):
+    """Two review findings: a sheet whose first row is omitted (header at
+    r=2) must still yield the header, not empty-header total data loss;
+    and one stray formatted cell at the sheet bottom (r=1048576) must not
+    materialize a million placeholder rows."""
+    p = str(tmp_path / "gap.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>name</t></is></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>alice</t></is></c></row>'
+        '<row r="1048576"><c r="A1048576" t="inlineStr">'
+        "<is><t>stray</t></is></c></row>"
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = read_xlsx(p)
+    assert header == ["name"]
+    assert rows[0] == ["alice"]
+    # gap budget: placeholder rows are capped, the stray row survives
+    assert len(rows) < 20_000
+    assert rows[-1] == ["stray"]

@@ -98,7 +98,14 @@ def main(argv):
         spark_types = {f.name.lower(): f.dataType.typeName() for f in sdf.schema.fields}
         for oc in odf.columns:
             st = spark_types.get(oc.lower())
-            if st in integral and str(odf[oc].dtype).startswith("float"):
+            # a NULL-containing integral column legitimately fetches as
+            # float64-with-NaN — only an all-non-null float column facing
+            # an integral Spark schema signals the uncast-HUGEINT bug
+            if (
+                st in integral
+                and str(odf[oc].dtype).startswith("float")
+                and not odf[oc].isna().any()
+            ):
                 problems.append(
                     f"oracle col {oc} is {odf[oc].dtype} but Spark is {st} "
                     "(uncast HUGEINT? add CAST(... AS BIGINT) in the oracle)"
