@@ -41,8 +41,17 @@ by ``getattr``):
           expect_column_stdev_to_be_between,
           expect_column_value_lengths_to_be_between,
           expect_column_pair_values_a_to_be_greater_than_b,
+          expect_column_pair_values_to_be_equal,
           expect_compound_columns_to_be_unique,
-          expect_column_values_to_be_of_type (schema-level, no data pass)
+          expect_table_row_count_to_equal,
+          expect_column_most_common_value_to_be_in_set,
+          expect_column_values_to_match_like_pattern,
+          expect_column_values_to_not_match_like_pattern,
+          expect_column_value_z_scores_to_be_less_than (single-pass via
+            extreme-z = max(max-mean, mean-min)/std; mostly=1 only),
+          expect_column_values_to_be_of_type,
+          expect_column_values_to_be_in_type_list (schema-level, no data
+            pass)
 Row-level expectations honour GX's ``mostly`` (fraction of non-null rows
 that must satisfy the predicate; default 1.0).
 
@@ -162,6 +171,27 @@ def _strftime_to_java(fmt: str) -> str:
                 out.append(lit)
             i = j
     return "".join(out)
+
+
+_TYPE_ALIASES = {
+    "int": {"int", "bigint", "smallint", "tinyint"},
+    "int64": {"bigint"},
+    "integertype": {"int"},
+    "longtype": {"bigint"},
+    "float": {"float", "double"},
+    "float64": {"double"},
+    "doubletype": {"double"},
+    "str": {"string"},
+    "stringtype": {"string"},
+    "object": {"string"},
+    "bool": {"boolean"},
+    "booleantype": {"boolean"},
+}
+
+
+def _spark_type_matches(have: str, want: str) -> bool:
+    """GX type_ name (pandas/GX/Spark spelling) vs a Spark simple dtype."""
+    return have == want or have in _TYPE_ALIASES.get(want, set())
 
 
 def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
@@ -385,25 +415,87 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
         out = _Compiled(
             etype, None, [], lambda v, s=_between(n_cols, lo, hi): s
         )
+    elif etype == "expect_table_row_count_to_equal":
+        want = kw["value"]
+        out = _Compiled(
+            etype,
+            None,
+            [F.count(F.lit(1)).alias(f"c{idx}_n")],
+            lambda v, w=want: (v[0] or 0) == w,
+        )
+    elif etype == "expect_column_most_common_value_to_be_in_set":
+        # Spark's mode() picks one value on ties (as does the GX pandas
+        # backend's head-of-modes when ties_okay is unset); callers who
+        # care about ties should pass a value_set covering the tie group
+        want = set(kw.get("value_set", []))
+        out = _Compiled(
+            etype,
+            col_name,
+            [F.mode(c).alias(f"c{idx}_m")],
+            lambda v, w=want: v[0] in w,
+        )
+    elif etype == "expect_column_pair_values_to_be_equal":
+        a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
+        both = a.isNotNull() & b.isNotNull()
+        ok = F.sum((both & (a == b)).cast("long")).alias(f"c{idx}_ok")
+        n = F.sum(both.cast("long")).alias(f"c{idx}_n")
+        out = _Compiled(
+            etype,
+            f"{kw['column_A']}~{kw['column_B']}",
+            [ok, n],
+            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        )
+    elif etype == "expect_column_values_to_match_like_pattern":
+        out = _mostly_pred(
+            c.cast("string").like(kw["like_pattern"]), c, idx, mostly
+        )
+    elif etype == "expect_column_values_to_not_match_like_pattern":
+        out = _mostly_pred(
+            ~c.cast("string").like(kw["like_pattern"]), c, idx, mostly
+        )
+    elif etype == "expect_column_values_to_be_in_type_list":
+        have = dict(df.dtypes).get(col_name, "")
+        ok_any = any(
+            _spark_type_matches(have, str(t).lower())
+            for t in kw.get("type_list", [])
+        )
+        out = _Compiled(etype, col_name, [], lambda v, s=ok_any: s)
+    elif etype == "expect_column_value_z_scores_to_be_less_than":
+        # single-pass formulation: with mostly=1 the extreme z-score is
+        # max(max-mean, mean-min)/std (double-sided) or (max-mean)/std,
+        # so min/max/avg/stddev aggregates suffice — no second scan.
+        # mostly<1 would need per-row z-scores (two passes); contained.
+        if mostly < 1.0:
+            raise NotImplementedError(
+                "expect_column_value_z_scores_to_be_less_than with "
+                "mostly<1 needs a second pass; unsupported"
+            )
+        thr = float(kw["threshold"])
+        double = bool(kw.get("double_sided", True))
+        aggs = [
+            F.min(c).alias(f"c{idx}_mn"),
+            F.max(c).alias(f"c{idx}_mx"),
+            F.avg(c).alias(f"c{idx}_av"),
+            F.stddev_samp(c).alias(f"c{idx}_sd"),
+        ]
+
+        def _z_verdict(v, thr=thr, double=double):
+            mn, mx, av, sd = v
+            if mn is None or sd is None:
+                return True  # empty or single-row column: no z outliers
+            if sd == 0:
+                return True
+            z = (mx - av) / sd
+            if double:
+                z = max(z, (av - mn) / sd)
+            return z < thr
+
+        out = _Compiled(etype, col_name, aggs, _z_verdict)
     elif etype == "expect_column_values_to_be_of_type":
         # schema-level: no data pass (GX type_ names map onto Spark's)
         want = str(kw.get("type_", "")).lower()
         have = dict(df.dtypes).get(col_name, "")
-        aliases = {
-            "int": {"int", "bigint", "smallint", "tinyint"},
-            "int64": {"bigint"},
-            "integertype": {"int"},
-            "longtype": {"bigint"},
-            "float": {"float", "double"},
-            "float64": {"double"},
-            "doubletype": {"double"},
-            "str": {"string"},
-            "stringtype": {"string"},
-            "object": {"string"},
-            "bool": {"boolean"},
-            "booleantype": {"boolean"},
-        }
-        ok = have == want or have in aliases.get(want, set())
+        ok = _spark_type_matches(have, want)
         out = _Compiled(etype, col_name, [], lambda v, s=ok: s)
     else:
         # reference behavior: silently skip unknown expectations

@@ -1308,6 +1308,23 @@ _GX_SUITE = [
     # the suite needs a red dqops row to prove verdicts aren't all-pass
     {"expectation_type": "dqops:duplicate_count",
      "kwargs": {"column": "o_custkey", "max_count": 0}},
+    # round-4 tranche 2 — further GX catalog types; sf-independent
+    # verdicts (constants chosen so the expected outcome is identical at
+    # every scale factor)
+    {"expectation_type": "expect_table_row_count_to_equal",
+     "kwargs": {"value": 123}},  # deliberately false at every sf
+    {"expectation_type": "expect_column_most_common_value_to_be_in_set",
+     "kwargs": {"column": "o_orderstatus", "value_set": ["O", "F", "P"]}},
+    {"expectation_type": "expect_column_pair_values_to_be_equal",
+     "kwargs": {"column_A": "o_orderkey", "column_B": "o_custkey"}},
+    {"expectation_type": "expect_column_values_to_match_like_pattern",
+     "kwargs": {"column": "o_orderpriority", "like_pattern": "%-%"}},
+    {"expectation_type": "expect_column_values_to_be_in_type_list",
+     "kwargs": {"column": "o_totalprice",
+                "type_list": ["float64", "int"]}},
+    {"expectation_type": "expect_column_value_z_scores_to_be_less_than",
+     "kwargs": {"column": "o_totalprice", "threshold": 100,
+                "double_sided": True}},
 ]
 
 _PH_SQL = ", ".join(f"'{p}'" for p in TX.NULL_PLACEHOLDERS)
@@ -1466,6 +1483,44 @@ WITH r AS (
   SELECT 30, 'dqops:duplicate_count', 'o_custkey',
          (SELECT count(o_custkey) - count(DISTINCT o_custkey) <= 0
           FROM orders)
+  UNION ALL
+  SELECT 31, 'expect_table_row_count_to_equal', NULL,
+         (SELECT count(*) = 123 FROM orders)
+  UNION ALL
+  SELECT 32, 'expect_column_most_common_value_to_be_in_set',
+         'o_orderstatus',
+         (SELECT mode(o_orderstatus) IN ('O','F','P') FROM orders)
+  UNION ALL
+  SELECT 33, 'expect_column_pair_values_to_be_equal',
+         'o_orderkey~o_custkey',
+         (SELECT sum(CASE WHEN o_orderkey IS NOT NULL
+                           AND o_custkey IS NOT NULL
+                           AND o_orderkey = o_custkey
+                          THEN 1 ELSE 0 END)
+                 = sum(CASE WHEN o_orderkey IS NOT NULL
+                             AND o_custkey IS NOT NULL
+                            THEN 1 ELSE 0 END)
+          FROM orders)
+  UNION ALL
+  SELECT 34, 'expect_column_values_to_match_like_pattern',
+         'o_orderpriority',
+         (SELECT sum(CASE WHEN o_orderpriority LIKE '%-%'
+                          THEN 1 ELSE 0 END) = count(o_orderpriority)
+          FROM orders)
+  UNION ALL
+  SELECT 35, 'expect_column_values_to_be_in_type_list', 'o_totalprice',
+         TRUE  -- schema-level: o_totalprice is DOUBLE ~ float64
+  UNION ALL
+  SELECT 36, 'expect_column_value_z_scores_to_be_less_than',
+         'o_totalprice',
+         (SELECT CASE WHEN stddev_samp(o_totalprice) IS NULL
+                        OR stddev_samp(o_totalprice) = 0 THEN TRUE
+                 ELSE greatest(
+                        (max(o_totalprice) - avg(o_totalprice))
+                          / stddev_samp(o_totalprice),
+                        (avg(o_totalprice) - min(o_totalprice))
+                          / stddev_samp(o_totalprice)) < 100
+                 END FROM orders)
 )
 SELECT idx, expectation, "column", success,
        round((SELECT sum(CASE WHEN success THEN 1 ELSE 0 END) * 1.0

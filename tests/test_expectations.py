@@ -318,3 +318,53 @@ def test_malformed_expectations_are_contained(spark):
     )
     assert [r["success"] for r in res] == [False, False, False, True]
     assert res[2]["expectation"] == "<missing type>"
+
+
+def test_gx_round4_types(spark):
+    """Tranche-2 GX types: row_count_to_equal, most_common_value,
+    pair_equal, LIKE patterns, type_list, single-pass z-scores."""
+    res = evaluate_suite(
+        _df(spark),
+        [
+            {"expectation_type": "expect_table_row_count_to_equal",
+             "kwargs": {"value": 5}},
+            {"expectation_type": "expect_table_row_count_to_equal",
+             "kwargs": {"value": 4}},
+            {"expectation_type":
+                 "expect_column_most_common_value_to_be_in_set",
+             "kwargs": {"column": "cat", "value_set": ["a"]}},  # mode=a
+            {"expectation_type":
+                 "expect_column_most_common_value_to_be_in_set",
+             "kwargs": {"column": "cat", "value_set": ["b", "c"]}},
+            {"expectation_type": "expect_column_pair_values_to_be_equal",
+             "kwargs": {"column_A": "id", "column_B": "id"}},
+            {"expectation_type": "expect_column_pair_values_to_be_equal",
+             "kwargs": {"column_A": "id", "column_B": "val"}},
+            {"expectation_type":
+                 "expect_column_values_to_match_like_pattern",
+             "kwargs": {"column": "cat", "like_pattern": "_"}},  # all 1-char
+            {"expectation_type":
+                 "expect_column_values_to_not_match_like_pattern",
+             "kwargs": {"column": "cat", "like_pattern": "a%"}},  # 'a' matches
+            {"expectation_type": "expect_column_values_to_be_in_type_list",
+             "kwargs": {"column": "val", "type_list": ["float64", "int"]}},
+            {"expectation_type": "expect_column_values_to_be_in_type_list",
+             "kwargs": {"column": "val", "type_list": ["str"]}},
+            # val = 10,20,40,50: mean 30, sd ~18.26, extreme z ~1.095
+            {"expectation_type":
+                 "expect_column_value_z_scores_to_be_less_than",
+             "kwargs": {"column": "val", "threshold": 2.0}},
+            {"expectation_type":
+                 "expect_column_value_z_scores_to_be_less_than",
+             "kwargs": {"column": "val", "threshold": 1.0}},
+            # mostly<1 is a contained NotImplementedError -> failed row
+            {"expectation_type":
+                 "expect_column_value_z_scores_to_be_less_than",
+             "kwargs": {"column": "val", "threshold": 2.0, "mostly": 0.5}},
+        ],
+    )
+    assert [r["success"] for r in res] == [
+        True, False, True, False, True, False,
+        True, False, True, False,
+        True, False, False,
+    ]
