@@ -118,3 +118,47 @@ def test_xlsx_roundtrip_any_table(tmp_path_factory, header, n_rows, data):
                 assert gv in (None, "")
             else:
                 assert gv == _xml_safe(wv)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(0, 65535),
+    h=st.integers(0, 65535),
+    ncomp=st.integers(1, 4),
+    sof=st.sampled_from([0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA]),
+    n_app=st.integers(0, 3),
+    junk=st.binary(min_size=0, max_size=40),
+)
+def test_jpeg_header_roundtrip_any_frame(w, h, ncomp, sof, n_app, junk):
+    """Any structurally valid marker stream round-trips its SOF dims, with
+    arbitrary APPn/COM segments (containing arbitrary bytes, incl. fake
+    markers — lengths must be honored, not content-scanned) before it."""
+    import struct
+
+    from packs_spark.operators.codecs import parse_jpeg_header
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    buf = b"\xff\xd8"
+    for i in range(n_app):
+        buf += seg(0xE0 + i, junk)  # junk may contain 0xFFD9/0xFFDA bytes
+    buf += seg(sof, struct.pack(">BHHB", 8, h, w, ncomp) + bytes(3 * ncomp))
+    buf += seg(0xDA, b"\x00") + junk + b"\xff\xd9"
+    assert parse_jpeg_header(buf) == (w, h, ncomp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_jpeg_header_never_crashes_on_garbage(data):
+    """Arbitrary bytes after the SOI magic either parse or raise ValueError
+    — never IndexError/struct.error/infinite loop (corrupt payloads are
+    routine at corpus scale; image_features catches ValueError only)."""
+    from packs_spark.operators.codecs import parse_jpeg_header
+
+    try:
+        res = parse_jpeg_header(b"\xff\xd8" + data)
+    except ValueError:
+        return
+    w, h, ncomp = res
+    assert 0 <= w <= 65535 and 0 <= h <= 65535 and 0 <= ncomp <= 255
