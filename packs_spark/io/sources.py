@@ -20,6 +20,7 @@ import is gated so the engine works without openpyxl installed.
 from __future__ import annotations
 
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,9 +183,18 @@ def read_database(spark: SparkSession, conf: dict) -> DataFrame:
     )
     for k, v in conf.get("properties", {}).items():
         reader = reader.option(k, v)
-    if isinstance(toq, str) and toq.strip().lower().startswith("select"):
+    if isinstance(toq, str) and _is_query(toq):
         return reader.option("query", toq).load()
     return reader.option("dbtable", toq).load()
+
+
+# a bare identifier can't be a SELECT statement: require a delimiter after
+# the keyword so table names like "selections" route as tables, not SQL
+_QUERY_RE = re.compile(r"^\s*select[\s(*]", re.IGNORECASE)
+
+
+def _is_query(toq: str) -> bool:
+    return bool(_QUERY_RE.match(toq))
 
 
 def _sqlite_path(url: str) -> str:
@@ -202,7 +212,7 @@ def _read_sqlite(spark: SparkSession, url: str, toq: str) -> DataFrame:
 
     sql = (
         toq
-        if toq.strip().lower().startswith("select")
+        if _is_query(toq)
         # escape embedded double quotes in the identifier (SQL standard
         # doubling) so odd table names can't break the quoting
         else 'SELECT * FROM "{}"'.format(toq.replace('"', '""'))

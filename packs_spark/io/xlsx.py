@@ -137,6 +137,10 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
         width = max(cells) + 1 if cells else 0
         r_attr = row_el.get("r")
         ridx = int(r_attr) - 1 if r_attr and r_attr.isdigit() else next_idx
+        # duplicate indices overwrite (openpyxl parity: cells land at the
+        # same coordinates, last write wins) — reachable only from
+        # malformed sheets mixing r-less rows with colliding explicit r,
+        # or outright duplicate r values
         placed[ridx] = [cells.get(i) for i in range(width)]
         next_idx = ridx + 1
 
@@ -160,9 +164,13 @@ def read_xlsx(path: str, skiprows: int = 0) -> tuple[list[str], list[list]]:
     rows = rows[skiprows:]
     # drop leading fully-empty rows before header extraction: a blank
     # first sheet row must not yield an empty header that truncates every
-    # data row to zero columns (pandas likewise skips leading blanks)
-    while rows and not any(v is not None for v in rows[0]):
-        rows = rows[1:]
+    # data row to zero columns (pandas likewise skips leading blanks).
+    # Index scan + one slice: the gap filler above can prepend thousands
+    # of empties, and re-slicing per row would be quadratic in them
+    first = 0
+    while first < len(rows) and not any(v is not None for v in rows[first]):
+        first += 1
+    rows = rows[first:]
     if not rows:
         return [], []
     header = ["" if h is None else str(h) for h in rows[0]]

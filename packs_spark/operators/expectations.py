@@ -88,7 +88,9 @@ from __future__ import annotations
 import operator
 import re
 from dataclasses import dataclass, field
+from datetime import datetime
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -119,6 +121,18 @@ def _between(value, lo, hi) -> bool:
     if value is None:
         return False
     return (lo is None or value >= lo) and (hi is None or value <= hi)
+
+
+def _pct_at_most(mx: float):
+    """Verdict over [count, total]: count/total percent <= mx.  An empty
+    column passes vacuously (0 violations <= any max)."""
+    return lambda v, mx=mx: (v[1] or 0) == 0 or 100.0 * (v[0] or 0) / v[1] <= mx
+
+
+def _pct_at_least(mn: float):
+    """Verdict over [count, total]: count/total percent >= mn.  An empty
+    column fails (no evidence the minimum is met)."""
+    return lambda v, mn=mn: (v[1] or 0) > 0 and 100.0 * (v[0] or 0) / v[1] >= mn
 
 
 def _mostly_pred(pred: Column, col: Column, idx: int, mostly: float) -> _Compiled:
@@ -426,7 +440,10 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
     elif etype == "expect_column_most_common_value_to_be_in_set":
         # Spark's mode() picks one value on ties (as does the GX pandas
         # backend's head-of-modes when ties_okay is unset); callers who
-        # care about ties should pass a value_set covering the tie group
+        # care about ties should pass a value_set covering the tie group.
+        # An empty / all-NULL column has no mode (mode() → NULL) and
+        # FAILS: GX raises on no data, this engine's convention is a
+        # contained failed row instead of an aborted suite
         want = set(kw.get("value_set", []))
         out = _Compiled(
             etype,
@@ -602,24 +619,26 @@ def compile_dqops(df: DataFrame, idx: int, exp: dict) -> _Compiled:
                 label, col_name,
                 [TX.count_if(predf(c)).alias(f"c{idx}_v"),
                  F.count(c).alias(f"c{idx}_nn")],
-                lambda v, mx=mx: (v[1] or 0) == 0
-                or 100.0 * (v[0] or 0) / v[1] <= mx,
+                _pct_at_most(mx),
             )
 
     if check == "date_values_in_future_percent":
-        now = (
-            F.lit(kw["now"]).cast("timestamp")
-            if "now" in kw
-            else F.current_timestamp()
-        )
+        if "now" in kw:
+            # validate eagerly: an unparseable 'now' must surface as a
+            # failed row (via the suite containment), not compile to
+            # cast(NULL) whose `ts > NULL` predicate silently passes
+            # every dataset (non-ANSI) or throws at runtime (ANSI)
+            datetime.fromisoformat(str(kw["now"]))
+            now = F.lit(kw["now"]).cast("timestamp")
+        else:
+            now = F.current_timestamp()
         ts = c.cast("timestamp")
         mx = float(kw.get("max_percent", 0.0))
         return _Compiled(
             label, col_name,
             [TX.count_if(ts > now).alias(f"c{idx}_v"),
              F.count(ts).alias(f"c{idx}_nn")],
-            lambda v, mx=mx: (v[1] or 0) == 0
-            or 100.0 * (v[0] or 0) / v[1] <= mx,
+            _pct_at_most(mx),
         )
     if check == "date_in_range_percent":
         d = c.cast("date")
@@ -630,8 +649,7 @@ def compile_dqops(df: DataFrame, idx: int, exp: dict) -> _Compiled:
             label, col_name,
             [TX.count_if((d >= lo) & (d <= hi)).alias(f"c{idx}_v"),
              F.count(d).alias(f"c{idx}_nn")],
-            lambda v, mn=mn: (v[1] or 0) > 0
-            and 100.0 * (v[0] or 0) / v[1] >= mn,
+            _pct_at_least(mn),
         )
     if check == "text_match_date_format_percent":
         fmt = _strftime_to_java(kw["date_format"])
@@ -641,8 +659,7 @@ def compile_dqops(df: DataFrame, idx: int, exp: dict) -> _Compiled:
             label, col_name,
             [TX.count_if(c.isNotNull() & ok).alias(f"c{idx}_v"),
              F.count(c).alias(f"c{idx}_nn")],
-            lambda v, mn=mn: (v[1] or 0) > 0
-            and 100.0 * (v[0] or 0) / v[1] >= mn,
+            _pct_at_least(mn),
         )
 
     if check == "distinct_count":
@@ -696,39 +713,71 @@ def evaluate_suite(df: DataFrame, expectations: list[dict]) -> list[dict]:
                 compiled.append(compile_dqops(df, i, exp))
             else:
                 compiled.append(compile_expectation(df, i, exp))
-        except (ValueError, KeyError, NotImplementedError):
+        except (ValueError, KeyError, NotImplementedError, TypeError,
+                AttributeError):
             # one uncompilable expectation (an unmapped strftime directive
             # like %f, an unsupported SodaCL check, a malformed kwargs
-            # dict) must not abort the whole suite run — record it as
-            # failed and keep evaluating the rest (the reference's
-            # dispatch likewise skips what it can't handle).  .get here:
-            # the missing key may BE expectation_type itself, and the
-            # fallback must not re-raise from inside the containment
+            # dict, a non-numeric threshold → TypeError, a non-dict
+            # expectation entry → AttributeError) must not abort the whole
+            # suite run — record it as failed and keep evaluating the rest
+            # (the reference's dispatch likewise skips what it can't
+            # handle).  .get here: the missing key may BE expectation_type
+            # itself, and the fallback must not re-raise from inside the
+            # containment
+            get = exp.get if isinstance(exp, dict) else (lambda *_: None)
+            kwargs = get("kwargs")
             compiled.append(
                 _Compiled(
-                    str(exp.get("expectation_type", "<missing type>")),
-                    exp.get("kwargs", {}).get("column")
-                    if isinstance(exp.get("kwargs"), dict)
-                    else None,
+                    str(get("expectation_type") or "<missing type>"),
+                    kwargs.get("column") if isinstance(kwargs, dict) else None,
                     [],
                     lambda v: False,
                 )
             )
 
     all_aggs = [a for comp in compiled for a in comp.aggs]
-    row = df.agg(*all_aggs).collect()[0] if all_aggs else None
+    try:
+        row = df.agg(*all_aggs).collect()[0] if all_aggs else None
+        values = []
+        pos = 0
+        for comp in compiled:
+            values.append([row[pos + j] for j in range(len(comp.aggs))])
+            pos += len(comp.aggs)
+    except AnalysisException:
+        # one expression that compiled but fails analysis (e.g. a
+        # value_set entry whose literal type mismatches the column:
+        # `cat = array('a')`) must not kill the fused single-pass agg —
+        # fall back to per-expectation aggregation so only the offending
+        # expectation fails.  Error path only: the fused plan stays the
+        # fast path
+        values = []
+        for comp in compiled:
+            try:
+                r = df.agg(*comp.aggs).collect()[0] if comp.aggs else None
+                values.append([r[j] for j in range(len(comp.aggs))])
+            except AnalysisException:
+                values.append(None)
 
-    results, pos = [], 0
-    for comp in compiled:
-        vals = [row[pos + j] for j in range(len(comp.aggs))] if comp.aggs else []
-        pos += len(comp.aggs)
+    results = []
+    for comp, vals in zip(compiled, values):
         if comp.verdict is None:
             continue  # unknown expectation — reference skips it
+        if vals is None:
+            success = False  # this expectation's own aggs failed analysis
+        else:
+            try:
+                success = bool(comp.verdict(vals))
+            except (TypeError, ValueError, ZeroDivisionError, KeyError):
+                # verdict-time errors (e.g. a string min_value compared
+                # to a numeric aggregate) are contained per-expectation,
+                # same as compile-time ones — one bad bound must not kill
+                # the suite
+                success = False
         results.append(
             {
                 "expectation": comp.label,
                 "column": comp.column,
-                "success": bool(comp.verdict(vals)),
+                "success": success,
             }
         )
     return results

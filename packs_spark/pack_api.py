@@ -744,14 +744,21 @@ def run_pack(
         # dqops-catalog checks (dqops-checks-reference.md): job.checks is
         # [{"check": "<name>", "column": ..., <params>}]; each rides the
         # same single-pass evaluate_suite agg via the dqops: prefix.
-        # .get("check"): a malformed entry becomes dqops:<missing check>,
-        # which compile_dqops rejects and the suite records as failed
-        # instead of the whole pack run aborting on a KeyError
-        suite = [
-            {"expectation_type": f"dqops:{c.get('check', '<missing check>')}",
-             "kwargs": {k: v for k, v in c.items() if k != "check"}}
-            for c in job.get("checks", [])
-        ]
+        # malformed entries become dqops:<missing check>, which
+        # compile_dqops rejects and the suite records as failed instead of
+        # the whole pack run aborting: a bare string is promoted to a
+        # parameterless check, a non-dict non-string entry to a rejected
+        # placeholder (c.get on it would raise AttributeError pre-suite)
+        suite = []
+        for c in job.get("checks", []):
+            if isinstance(c, str):
+                c = {"check": c}
+            elif not isinstance(c, dict):
+                c = {"check": f"<malformed entry: {type(c).__name__}>"}
+            suite.append(
+                {"expectation_type": f"dqops:{c.get('check', '<missing check>')}",
+                 "kwargs": {k: v for k, v in c.items() if k != "check"}}
+            )
         return _suite_envelope(spark, df, dataset, suite)
 
     if pack_name == "fhir_compliance":

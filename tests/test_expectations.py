@@ -368,3 +368,56 @@ def test_gx_round4_types(spark):
         True, False, True, False,
         True, False, False,
     ]
+
+
+def test_review_round4_containment_holes(spark):
+    """TypeErrors (bad kwarg types), non-dict entries, verdict-time type
+    clashes, and an unparseable 'now' are all contained as failed rows —
+    none may abort the suite (review findings, round 4)."""
+    df = _df(spark)
+    res = evaluate_suite(
+        df,
+        [
+            # compile-time TypeError: float(None)
+            {"expectation_type":
+                 "expect_column_value_z_scores_to_be_less_than",
+             "kwargs": {"column": "val", "threshold": None}},
+            # compile-time TypeError: unhashable value_set entry
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "cat", "value_set": [["a"]]}},
+            # non-dict expectation entry entirely
+            "expect_column_values_to_not_be_null",
+            # verdict-time TypeError: str bound vs numeric count
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": "one"}},
+            # unparseable fixed 'now' must FAIL, not silently pass via
+            # cast(NULL) comparison
+            {"expectation_type": "dqops:date_values_in_future_percent",
+             "kwargs": {"column": "cat", "max_percent": 100.0,
+                        "now": "2035-13-99"}},
+            # control: a good check after all the bad ones still runs
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "id"}},
+        ],
+    )
+    assert [r["success"] for r in res] == [
+        False, False, False, False, False, True,
+    ]
+
+
+def test_mode_of_all_null_column_is_contained_failure(spark):
+    """mode() of an empty/all-NULL column is NULL: the expectation fails
+    (documented divergence: GX raises on no data, this engine records a
+    contained failed row)."""
+    pdf = pd.DataFrame({"x": [None, None, None]}).astype("object")
+    df = spark.createDataFrame(pdf, "x string")
+    res = evaluate_suite(
+        df,
+        [{"expectation_type":
+              "expect_column_most_common_value_to_be_in_set",
+          "kwargs": {"column": "x", "value_set": ["a"]}}],
+    )
+    assert res == [
+        {"expectation": "expect_column_most_common_value_to_be_in_set",
+         "column": "x", "success": False}
+    ]

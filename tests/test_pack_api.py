@@ -388,3 +388,26 @@ def test_dqops_pack_contains_malformed_check(spark, tmp_path):
     assert m["dqops:<missing check>"] == "False"
     assert m["dqops:distinct_count"] == "True"
     assert m["score"] == "0.5"
+
+
+def test_dqops_pack_contains_non_dict_check_entries(spark, tmp_path):
+    """A bare-string entry is promoted to a parameterless check (which
+    fails compile for lack of a column, contained); a non-dict non-string
+    entry becomes a rejected placeholder row — neither aborts the run
+    (review finding, round 4: c.get on a str raised AttributeError)."""
+    src = tmp_path / "n.csv"
+    src.write_text("id\n1\n2\n")
+    out = run_pack(
+        spark, "dqops_checks",
+        {"type": "csv", "path": str(src), "name": "n"},
+        {"job": {"checks": [
+            "distinct_count",          # bare string: no column -> failed
+            42,                        # non-dict, non-string -> failed
+            {"check": "distinct_count", "column": "id",
+             "min_value": 2, "max_value": 2},
+        ]}},
+    )
+    m = {r.key: r.value for r in out["metrics"].collect()}
+    assert m["dqops:distinct_count"] == "True"
+    assert m["dqops:<malformed entry: int>"] == "False"
+    assert m["score"] == "0.33"

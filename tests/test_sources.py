@@ -295,3 +295,31 @@ def test_sqlite_star_excludes_views_and_empty_db(spark, tmp_path):
     conf_e = {"url": f"sqlite:{empty}"}
     assert list_tables(spark, conf_e) == []
     assert load_database_sources(spark, {**conf_e, "table_or_query": "*"}) == {}
+
+
+def test_table_names_starting_with_select_route_as_tables(spark, tmp_path):
+    """Dispatch requires a delimiter after the SELECT keyword, so a table
+    legitimately named 'selections' scans as a table instead of being
+    executed as broken SQL (review finding, round 4)."""
+    import sqlite3
+
+    from packs_spark.io.sources import read_database
+
+    db = str(tmp_path / "sel.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE selections (id INTEGER)")
+    con.executemany("INSERT INTO selections VALUES (?)", [(1,), (2,)])
+    con.commit()
+    con.close()
+
+    df = read_database(
+        spark, {"url": f"sqlite:{db}", "table_or_query": "selections"}
+    )
+    assert df.count() == 2
+    # a real query through the same dispatch still executes as SQL
+    q = read_database(
+        spark,
+        {"url": f"sqlite:{db}",
+         "table_or_query": "SELECT id FROM selections WHERE id > 1"},
+    )
+    assert q.count() == 1

@@ -192,3 +192,27 @@ def test_xlsx_blank_first_row_and_bottom_stray_cell(tmp_path):
     # gap budget: placeholder rows are capped, the stray row survives
     assert len(rows) < 20_000
     assert rows[-1] == ["stray"]
+
+
+def test_duplicate_row_indices_overwrite_like_openpyxl(tmp_path):
+    """Malformed sheets mixing r-less rows with colliding explicit r: the
+    r-less row takes the next index and a later duplicate r overwrites it
+    (openpyxl parity -- cells land at the same coordinates, last write
+    wins).  Documented semantics, not data-loss-by-accident."""
+    p = str(tmp_path / "dup.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>A</t></is></c></row>'
+        # r-less row: takes the next index (3)
+        '<row><c t="inlineStr"><is><t>B</t></is></c></row>'
+        # explicit r=3 collides with it and wins
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>C</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = read_xlsx(p)
+    assert header == ["h"]
+    assert rows == [["A"], ["C"]]
