@@ -51,7 +51,17 @@ by ``getattr``):
             extreme-z = max(max-mean, mean-min)/std; mostly=1 only),
           expect_column_values_to_be_of_type,
           expect_column_values_to_be_in_type_list (schema-level, no data
-            pass)
+            pass),
+          expect_table_column_count_to_equal,
+          expect_column_value_lengths_to_equal,
+          expect_column_values_to_match_regex_list (match_on any/all),
+          expect_column_values_to_not_match_regex_list,
+          expect_column_values_to_be_json_parseable,
+          expect_column_values_to_be_dateutil_parseable (deterministic
+            subset: ISO casts + the reference's sniffable format table),
+          expect_multicolumn_sum_to_equal,
+          expect_select_column_values_to_be_unique_within_record,
+          expect_column_pair_values_to_be_in_set
 Row-level expectations honour GX's ``mostly`` (fraction of non-null rows
 that must satisfy the predicate; default 1.0).
 
@@ -93,6 +103,8 @@ from datetime import datetime
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from packs_spark.functions.datesniff import DATE_REGEX_TABLE
 
 _OPS = {
     ">": operator.gt,
@@ -514,6 +526,108 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
         have = dict(df.dtypes).get(col_name, "")
         ok = _spark_type_matches(have, want)
         out = _Compiled(etype, col_name, [], lambda v, s=ok: s)
+    elif etype == "expect_table_column_count_to_equal":
+        want = int(kw["value"])
+        out = _Compiled(
+            etype, None, [], lambda v, s=(len(df.columns) == want): s
+        )
+    elif etype == "expect_column_value_lengths_to_equal":
+        want = int(kw["value"])
+        out = _mostly_pred(
+            F.length(c.cast("string")) == F.lit(want), c, idx, mostly
+        )
+    elif etype == "expect_column_values_to_match_regex_list":
+        pats = list(kw["regex_list"])
+        match_on = str(kw.get("match_on", "any")).lower()
+        s = c.cast("string")
+        pred = F.lit(match_on == "all")
+        for p in pats:
+            pred = (
+                (pred & s.rlike(p)) if match_on == "all" else (pred | s.rlike(p))
+            )
+        out = _mostly_pred(pred, c, idx, mostly)
+    elif etype == "expect_column_values_to_not_match_regex_list":
+        s = c.cast("string")
+        pred = F.lit(True)
+        for p in kw["regex_list"]:
+            pred = pred & ~s.rlike(p)
+        out = _mostly_pred(pred, c, idx, mostly)
+    elif etype == "expect_column_values_to_be_json_parseable":
+        # get_json_object('$') echoes the document iff it parses as JSON —
+        # a JVM-side parseability probe with no UDF and no schema binding
+        out = _mostly_pred(
+            F.get_json_object(c.cast("string"), "$").isNotNull(),
+            c, idx, mostly,
+        )
+    elif etype == "expect_column_values_to_be_dateutil_parseable":
+        # engine twin of dateutil.parse: a plain timestamp/date cast
+        # (ISO shapes) coalesced with the reference's sniffable format
+        # table (timeliness_pack/main.py:26-61 — the same cascade as the
+        # F9 mixed-format path).  Laxer dateutil inputs ("Jan 3 2020")
+        # are not claimed; this is the documented, deterministic subset
+        s = c.cast("string")
+        # try_cast, not cast: ANSI mode throws on malformed datetime input
+        parsed = F.coalesce(
+            s.try_cast("timestamp"),
+            s.try_cast("date").cast("timestamp"),
+            *[F.try_to_timestamp(s, F.lit(fmt))
+              for _, fmt in DATE_REGEX_TABLE],
+        )
+        out = _mostly_pred(parsed.isNotNull(), c, idx, mostly)
+    elif etype == "expect_multicolumn_sum_to_equal":
+        cols = [F.col(x) for x in kw["column_list"]]
+        want = kw["sum_total"]
+        all_nn = F.lit(True)
+        total = F.lit(0)
+        for x in cols:
+            all_nn = all_nn & x.isNotNull()
+            total = total + x
+        ok = F.sum((all_nn & (total == F.lit(want))).cast("long")).alias(
+            f"c{idx}_ok"
+        )
+        n = F.sum(all_nn.cast("long")).alias(f"c{idx}_n")
+        out = _Compiled(
+            etype,
+            ",".join(kw["column_list"]),
+            [ok, n],
+            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        )
+    elif etype == "expect_select_column_values_to_be_unique_within_record":
+        # per-row distinctness of the selected columns; rows where every
+        # selected value is NULL are ignored (GX ignore_row_if default
+        # "all_values_are_missing").  array_distinct collapses duplicate
+        # NULLs, so a row with two NULLs and a value counts as having a
+        # duplicate — matching GX's pandas NaN behavior
+        cols = [F.col(x) for x in kw["column_list"]]
+        arr = F.array(*cols)
+        any_nn = F.lit(False)
+        for x in cols:
+            any_nn = any_nn | x.isNotNull()
+        distinct_ok = F.size(F.array_distinct(arr)) == len(cols)
+        ok = F.sum((any_nn & distinct_ok).cast("long")).alias(f"c{idx}_ok")
+        n = F.sum(any_nn.cast("long")).alias(f"c{idx}_n")
+        out = _Compiled(
+            etype,
+            ",".join(kw["column_list"]),
+            [ok, n],
+            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        )
+    elif etype == "expect_column_pair_values_to_be_in_set":
+        a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
+        both = a.isNotNull() & b.isNotNull()
+        # Or-chain over the pair set (same InSet-JIT rationale as
+        # values_to_be_in_set)
+        pred = F.lit(False)
+        for pa, pb in kw["value_pairs_set"]:
+            pred = pred | ((a == F.lit(pa)) & (b == F.lit(pb)))
+        ok = F.sum((both & pred).cast("long")).alias(f"c{idx}_ok")
+        n = F.sum(both.cast("long")).alias(f"c{idx}_n")
+        out = _Compiled(
+            etype,
+            f"{kw['column_A']}~{kw['column_B']}",
+            [ok, n],
+            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        )
     else:
         # reference behavior: silently skip unknown expectations
         # (great_expectations_pack/main.py:45-46 `if not hasattr: continue`)

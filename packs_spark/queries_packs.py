@@ -1325,6 +1325,35 @@ _GX_SUITE = [
     {"expectation_type": "expect_column_value_z_scores_to_be_less_than",
      "kwargs": {"column": "o_totalprice", "threshold": 100,
                 "double_sided": True}},
+    # round-4 tranche 3 — lengths-equal, regex lists, parseability,
+    # multicolumn row predicates, pair membership; constants again chosen
+    # for sf-independent verdicts (o_orderstatus is 1 char, priorities
+    # are '<digit>-WORD', o_shippriority is the constant 0, and key sums
+    # can never be 3 on every row)
+    {"expectation_type": "expect_table_column_count_to_equal",
+     "kwargs": {"value": 6}},
+    {"expectation_type": "expect_column_value_lengths_to_equal",
+     "kwargs": {"column": "o_orderstatus", "value": 1}},
+    {"expectation_type": "expect_column_values_to_match_regex_list",
+     "kwargs": {"column": "o_orderpriority",
+                "regex_list": ["^[1-3]-", "^[4-5]-"]}},
+    {"expectation_type": "expect_column_values_to_not_match_regex_list",
+     "kwargs": {"column": "o_orderpriority",
+                "regex_list": ["^9", "^0"]}},
+    {"expectation_type": "expect_column_values_to_be_dateutil_parseable",
+     "kwargs": {"column": "o_orderdate"}},
+    {"expectation_type": "expect_multicolumn_sum_to_equal",
+     "kwargs": {"column_list": ["o_orderkey", "o_custkey"],
+                "sum_total": 3}},  # deliberately false at every sf
+    {"expectation_type":
+         "expect_select_column_values_to_be_unique_within_record",
+     "kwargs": {"column_list": ["o_orderstatus", "o_orderpriority"]}},
+    # self-pair over the status domain: passes iff every status is one of
+    # O/F/P — same semantics as the in_set check but through the pair
+    # operator's (A,B) plumbing, which is what this row exercises
+    {"expectation_type": "expect_column_pair_values_to_be_in_set",
+     "kwargs": {"column_A": "o_orderstatus", "column_B": "o_orderstatus",
+                "value_pairs_set": [["O", "O"], ["F", "F"], ["P", "P"]]}},
 ]
 
 _PH_SQL = ", ".join(f"'{p}'" for p in TX.NULL_PLACEHOLDERS)
@@ -1521,6 +1550,60 @@ WITH r AS (
                         (avg(o_totalprice) - min(o_totalprice))
                           / stddev_samp(o_totalprice)) < 100
                  END FROM orders)
+  UNION ALL
+  SELECT 37, 'expect_table_column_count_to_equal', NULL,
+         TRUE  -- schema-level: the orders table has exactly 6 columns
+  UNION ALL
+  SELECT 38, 'expect_column_value_lengths_to_equal', 'o_orderstatus',
+         (SELECT sum(CASE WHEN length(o_orderstatus) = 1
+                          THEN 1 ELSE 0 END) = count(o_orderstatus)
+          FROM orders)
+  UNION ALL
+  SELECT 39, 'expect_column_values_to_match_regex_list',
+         'o_orderpriority',
+         (SELECT sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+                            OR regexp_matches(o_orderpriority, '^[4-5]-')
+                          THEN 1 ELSE 0 END) = count(o_orderpriority)
+          FROM orders)
+  UNION ALL
+  SELECT 40, 'expect_column_values_to_not_match_regex_list',
+         'o_orderpriority',
+         (SELECT sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^9')
+                           AND NOT regexp_matches(o_orderpriority, '^0')
+                          THEN 1 ELSE 0 END) = count(o_orderpriority)
+          FROM orders)
+  UNION ALL
+  SELECT 41, 'expect_column_values_to_be_dateutil_parseable',
+         'o_orderdate',
+         (SELECT sum(CASE WHEN try_cast(CAST(o_orderdate AS VARCHAR)
+                                        AS TIMESTAMP) IS NOT NULL
+                          THEN 1 ELSE 0 END) = count(o_orderdate)
+          FROM orders)
+  UNION ALL
+  SELECT 42, 'expect_multicolumn_sum_to_equal',
+         'o_orderkey,o_custkey',
+         (SELECT sum(CASE WHEN o_orderkey IS NOT NULL
+                           AND o_custkey IS NOT NULL
+                           AND o_orderkey + o_custkey = 3
+                          THEN 1 ELSE 0 END)
+                 = sum(CASE WHEN o_orderkey IS NOT NULL
+                             AND o_custkey IS NOT NULL
+                            THEN 1 ELSE 0 END)
+          FROM orders)
+  UNION ALL
+  SELECT 43, 'expect_select_column_values_to_be_unique_within_record',
+         'o_orderstatus,o_orderpriority',
+         (SELECT sum(CASE WHEN o_orderstatus IS DISTINCT FROM
+                               o_orderpriority
+                          THEN 1 ELSE 0 END) = count(*)
+          FROM orders)
+  UNION ALL
+  SELECT 44, 'expect_column_pair_values_to_be_in_set',
+         'o_orderstatus~o_orderstatus',
+         (SELECT sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                          THEN 1 ELSE 0 END)
+                 = count(o_orderstatus)
+          FROM orders)
 )
 SELECT idx, expectation, "column", success,
        round((SELECT sum(CASE WHEN success THEN 1 ELSE 0 END) * 1.0

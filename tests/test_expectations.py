@@ -421,3 +421,84 @@ def test_mode_of_all_null_column_is_contained_failure(spark):
         {"expectation": "expect_column_most_common_value_to_be_in_set",
          "column": "x", "success": False}
     ]
+
+
+def test_gx_round4_tranche3_types(spark):
+    """Tranche-3 GX types: column_count_to_equal, value_lengths_to_equal,
+    regex lists, JSON/date parseability, multicolumn sum, within-record
+    uniqueness, pair-in-set."""
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 4],
+            "b": [9, 8, 7, 6],
+            "code": ["ab", "cd", "ef", "gh"],
+            "js": ['{"k":1}', "[1,2]", "not json", None],
+            "dt": ["2020-01-02", "01/03/2020", "nope", "2020-01-02 03:04:05"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = evaluate_suite(
+        df,
+        [
+            {"expectation_type": "expect_table_column_count_to_equal",
+             "kwargs": {"value": 5}},
+            {"expectation_type": "expect_table_column_count_to_equal",
+             "kwargs": {"value": 4}},
+            {"expectation_type": "expect_column_value_lengths_to_equal",
+             "kwargs": {"column": "code", "value": 2}},
+            {"expectation_type": "expect_column_value_lengths_to_equal",
+             "kwargs": {"column": "code", "value": 3}},
+            # any-of: every code matches one of the two patterns
+            {"expectation_type": "expect_column_values_to_match_regex_list",
+             "kwargs": {"column": "code",
+                        "regex_list": ["^[a-d]+$", "^[e-h]+$"]}},
+            # all-of: none matches both
+            {"expectation_type": "expect_column_values_to_match_regex_list",
+             "kwargs": {"column": "code", "match_on": "all",
+                        "regex_list": ["^[a-d]+$", "^[e-h]+$"]}},
+            {"expectation_type":
+                 "expect_column_values_to_not_match_regex_list",
+             "kwargs": {"column": "code", "regex_list": ["^zz$", "^yy$"]}},
+            # 2 of 3 non-null js values parse -> mostly 0.6 passes, 0.9 fails
+            {"expectation_type": "expect_column_values_to_be_json_parseable",
+             "kwargs": {"column": "js", "mostly": 0.6}},
+            {"expectation_type": "expect_column_values_to_be_json_parseable",
+             "kwargs": {"column": "js", "mostly": 0.9}},
+            # 3 of 4 dt values parse (ISO date, MM/dd/yyyy, ISO ts)
+            {"expectation_type":
+                 "expect_column_values_to_be_dateutil_parseable",
+             "kwargs": {"column": "dt", "mostly": 0.75}},
+            {"expectation_type":
+                 "expect_column_values_to_be_dateutil_parseable",
+             "kwargs": {"column": "dt"}},
+            # a+b = 10 on every row
+            {"expectation_type": "expect_multicolumn_sum_to_equal",
+             "kwargs": {"column_list": ["a", "b"], "sum_total": 10}},
+            {"expectation_type": "expect_multicolumn_sum_to_equal",
+             "kwargs": {"column_list": ["a", "b"], "sum_total": 11}},
+            # a != b on every row
+            {"expectation_type":
+                 "expect_select_column_values_to_be_unique_within_record",
+             "kwargs": {"column_list": ["a", "b"]}},
+            # code duplicated within record -> fails
+            {"expectation_type":
+                 "expect_select_column_values_to_be_unique_within_record",
+             "kwargs": {"column_list": ["code", "code"]}},
+            {"expectation_type": "expect_column_pair_values_to_be_in_set",
+             "kwargs": {"column_A": "a", "column_B": "b",
+                        "value_pairs_set": [[1, 9], [2, 8], [3, 7], [4, 6]]}},
+            {"expectation_type": "expect_column_pair_values_to_be_in_set",
+             "kwargs": {"column_A": "a", "column_B": "b",
+                        "value_pairs_set": [[1, 9]], "mostly": 0.25}},
+        ],
+    )
+    assert [r["success"] for r in res] == [
+        True, False,          # column count
+        True, False,          # lengths equal
+        True, False, True,    # regex lists
+        True, False,          # json parseable
+        True, False,          # dateutil parseable
+        True, False,          # multicolumn sum
+        True, False,          # unique within record
+        True, True,           # pair in set
+    ]
