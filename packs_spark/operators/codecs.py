@@ -15,7 +15,12 @@ JPEG pixel decode stays Pillow-gated (a pure-python baseline-JPEG decoder
 is not a sensible use of engine code), but the METADATA tier is
 Pillow-free: :func:`parse_jpeg_header` walks the marker segments to the
 SOF frame header (ITU-T T.81 §B.2) and returns (width, height, channels)
-without touching entropy-coded data.  Callers fall back to these decoders
+without touching entropy-coded data.  Video gets the same treatment:
+MP4/MOV pixel decode needs ffmpeg, but the CONTAINER tier
+(:func:`parse_mp4_metadata`, :func:`mp4_sample_ranges`) is stdlib — box
+walk per ISO/IEC 14496-12 for duration/tracks/codec/dimensions, and the
+stsz×stsc×stco×stss sample-table join that maps every (key)frame to its
+byte range, which is all a frame SAMPLER needs.  Callers fall back to these decoders
 only when Pillow is absent, so a real deployment with Pillow installed
 never pays the python filter loop.  At fixture scale (tests) the loops
 touch KB-sized images; the Sub/Up filters — the common ones — are
@@ -415,3 +420,226 @@ def resize_nearest(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
     ys = (np.arange(th) * h // th).clip(0, h - 1)
     xs = (np.arange(tw) * w // tw).clip(0, w - 1)
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4/MOV, ISO/IEC 14496-12) — container-level parsing only.
+# Pixel/audio decode of the coded samples needs ffmpeg and stays gated;
+# what IS fully servable from the stdlib is the box structure: duration,
+# track layout, codec fourcc, and the sample tables (stsz/stsc/stco/stss)
+# that map sample index → byte range — which is exactly what a frame
+# SAMPLER needs (it selects and slices coded samples; it never decodes).
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    buf[start:end] (ISO 14496-12 §4.2: 32-bit size, size==1 → 64-bit
+    largesize follows, size==0 → box extends to the end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError(f"invalid box size {size} at offset {pos}")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _full_box(buf: bytes, start: int) -> tuple[int, int]:
+    """(version, flags) of a FullBox; payload begins at start+4."""
+    v_f = struct.unpack_from(">I", buf, start)[0]
+    return v_f >> 24, v_f & 0xFFFFFF
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """Container metadata of an ISO BMFF file, stdlib-only.
+
+    Returns ``{brand, duration_s, tracks: [{handler, codec, width,
+    height, n_samples, n_keyframes}]}``.  Raises ValueError on anything
+    that is not a parseable BMFF stream (callers contain it per-row).
+    Reference scope: the multimodal metadata tier
+    (multimodal_metadata_documents) — video twin of parse_jpeg_header.
+    """
+    try:
+        return _parse_mp4_metadata(payload)
+    except struct.error as e:
+        # corrupted counts/offsets inside otherwise well-framed boxes
+        # reach unpack_from directly; normalize to the documented error
+        raise ValueError(f"corrupt BMFF structure: {e}") from e
+
+
+def _parse_mp4_metadata(payload: bytes) -> dict:
+    buf = bytes(payload)
+    brand = ""
+    duration_s = None
+    tracks = []
+    ftyp = _find_box(buf, 0, len(buf), b"ftyp")
+    if ftyp:
+        brand = buf[ftyp[0] : ftyp[0] + 4].decode("ascii", "replace")
+    moov = _find_box(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("no moov box: not a parseable BMFF stream")
+    mvhd = _find_box(buf, moov[0], moov[1], b"mvhd")
+    if mvhd:
+        ver, _ = _full_box(buf, mvhd[0])
+        if ver == 1:
+            timescale, duration = struct.unpack_from(">IQ", buf, mvhd[0] + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", buf, mvhd[0] + 12)
+        if timescale:
+            duration_s = round(duration / timescale, 3)
+    for t, s, e in _iter_boxes(buf, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        tracks.append(_parse_trak(buf, s, e))
+    return {"brand": brand, "duration_s": duration_s, "tracks": tracks}
+
+
+def _parse_trak(buf: bytes, start: int, end: int) -> dict:
+    width = height = 0
+    tkhd = _find_box(buf, start, end, b"tkhd")
+    if tkhd:
+        ver, _ = _full_box(buf, tkhd[0])
+        # width/height are the LAST two 16.16 fixed-point fields of tkhd
+        # (§8.3.2) — offset from the end dodges the version split
+        width = struct.unpack_from(">I", buf, tkhd[1] - 8)[0] >> 16
+        height = struct.unpack_from(">I", buf, tkhd[1] - 4)[0] >> 16
+    handler = codec = ""
+    n_samples = n_keyframes = 0
+    mdia = _find_box(buf, start, end, b"mdia")
+    if mdia:
+        hdlr = _find_box(buf, mdia[0], mdia[1], b"hdlr")
+        if hdlr:
+            handler = buf[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
+        stbl = _stbl_of(buf, mdia)
+        if stbl:
+            stsd = _find_box(buf, stbl[0], stbl[1], b"stsd")
+            if stsd:
+                # first SampleEntry: fullbox(4) + entry_count(4) +
+                # size(4), then the codec fourcc
+                codec = buf[stsd[0] + 12 : stsd[0] + 16].decode(
+                    "ascii", "replace"
+                )
+            stsz = _find_box(buf, stbl[0], stbl[1], b"stsz")
+            if stsz:
+                n_samples = struct.unpack_from(">I", buf, stsz[0] + 8)[0]
+            stss = _find_box(buf, stbl[0], stbl[1], b"stss")
+            if stss:
+                n_keyframes = struct.unpack_from(">I", buf, stss[0] + 4)[0]
+            elif n_samples:
+                n_keyframes = n_samples  # no stss → every sample is a sync
+    return {
+        "handler": handler,
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "n_samples": n_samples,
+        "n_keyframes": n_keyframes,
+    }
+
+
+def _stbl_of(buf: bytes, mdia: tuple[int, int]):
+    minf = _find_box(buf, mdia[0], mdia[1], b"minf")
+    if minf is None:
+        return None
+    return _find_box(buf, minf[0], minf[1], b"stbl")
+
+
+def mp4_sample_ranges(payload: bytes, handler: bytes = b"vide") -> list:
+    """(offset, size, is_keyframe) per sample of the first track with the
+    given handler — the sample-table join (stsc × stco × stsz × stss,
+    §8.7) that a frame sampler runs to slice coded samples out of the
+    container without any codec work."""
+    try:
+        return _mp4_sample_ranges(payload, handler)
+    except struct.error as e:
+        raise ValueError(f"corrupt BMFF structure: {e}") from e
+
+
+def _mp4_sample_ranges(payload: bytes, handler: bytes) -> list:
+    buf = bytes(payload)
+    moov = _find_box(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("no moov box: not a parseable BMFF stream")
+    for t, s, e in _iter_boxes(buf, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find_box(buf, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(buf, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or buf[hdlr[0] + 8 : hdlr[0] + 12] != handler:
+            continue
+        stbl = _stbl_of(buf, mdia)
+        if stbl is None:
+            continue
+        return _sample_ranges_of_stbl(buf, stbl)
+    return []
+
+
+def _sample_ranges_of_stbl(buf: bytes, stbl: tuple[int, int]) -> list:
+    stsz = _find_box(buf, stbl[0], stbl[1], b"stsz")
+    stsc = _find_box(buf, stbl[0], stbl[1], b"stsc")
+    stco = _find_box(buf, stbl[0], stbl[1], b"stco")
+    co64 = _find_box(buf, stbl[0], stbl[1], b"co64")
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        raise ValueError("incomplete sample table (stsz/stsc/stco)")
+
+    fixed, n_samples = struct.unpack_from(">II", buf, stsz[0] + 4)
+    sizes = (
+        [fixed] * n_samples
+        if fixed
+        else list(struct.unpack_from(f">{n_samples}I", buf, stsz[0] + 12))
+    )
+
+    if stco is not None:
+        n_chunks = struct.unpack_from(">I", buf, stco[0] + 4)[0]
+        offsets = struct.unpack_from(f">{n_chunks}I", buf, stco[0] + 8)
+    else:
+        n_chunks = struct.unpack_from(">I", buf, co64[0] + 4)[0]
+        offsets = struct.unpack_from(f">{n_chunks}Q", buf, co64[0] + 8)
+
+    n_runs = struct.unpack_from(">I", buf, stsc[0] + 4)[0]
+    runs = [
+        struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i)[:2]
+        for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk)
+
+    keyframes = None
+    stss = _find_box(buf, stbl[0], stbl[1], b"stss")
+    if stss:
+        n_sync = struct.unpack_from(">I", buf, stss[0] + 4)[0]
+        keyframes = set(struct.unpack_from(f">{n_sync}I", buf, stss[0] + 8))
+
+    out = []
+    sample = 0  # 0-based
+    for run_i, (first_chunk, per_chunk) in enumerate(runs):
+        last_chunk = (
+            runs[run_i + 1][0] - 1 if run_i + 1 < n_runs else n_chunks
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= n_samples:
+                    return out
+                size = sizes[sample]
+                sync = keyframes is None or (sample + 1) in keyframes
+                out.append((pos, size, sync))
+                pos += size
+                sample += 1
+    return out

@@ -50,6 +50,11 @@ def sniff_format(payload: bytes | None) -> str:
     for name, magic in MAGIC:
         if payload[: len(magic)] == magic or head[: len(magic)] == magic:
             return name
+    # ISO BMFF: magic sits after the 4-byte box size — checked AFTER the
+    # head magics so a leading container signature always wins over a
+    # coincidental 'ftyp' in the trailing bytes
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -148,12 +153,20 @@ def frame_sample(
     Animated GIF (the one multi-frame container decodable from the
     stdlib) decodes FOR REAL — LZW inflate + disposal-aware compositing
     (operators/codecs.py), keeping every ``every_n``-th composited frame
-    re-encoded as PNG.  Other containers (mp4/webm need ffmpeg) use the
-    deterministic byte-slice stand-in so the explode/partitioning/schema
-    contract holds for every payload."""
+    re-encoded as PNG.  MP4/MOV payloads sample FOR REAL at the container
+    level: the stdlib BMFF sample-table join (codecs.mp4_sample_ranges)
+    slices the coded bytes of every ``every_n``-th keyframe out of mdat —
+    exactly what a distributed sampler ships to a decode stage (decoding
+    those samples to pixels still needs ffmpeg).  Other containers (webm)
+    use the deterministic byte-slice stand-in so the explode/partitioning/
+    schema contract holds for every payload."""
     schema = f"{id_col} string, frame_idx int, frame_bytes binary"
 
-    from packs_spark.operators.codecs import decode_gif_frames, encode_png
+    from packs_spark.operators.codecs import (
+        decode_gif_frames,
+        encode_png,
+        mp4_sample_ranges,
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,6 +193,27 @@ def frame_sample(
                         ]
                         rows.extend(gif_rows)
                         continue
+                    except Exception:
+                        pass
+                if p is not None and bytes(p[4:8]) == b"ftyp":
+                    # real container-level sampling: keyframe coded bytes
+                    # via the BMFF sample tables.  Corrupt/fragmented
+                    # files (no stbl; moof-based) fall through to the
+                    # stand-in, same containment as GIF above
+                    try:
+                        pb = bytes(p)
+                        ranges = mp4_sample_ranges(pb)
+                        # keyframes are the samplable points; a stream
+                        # with no sync table treats every sample as one
+                        keys = [r for r in ranges if r[2]] or ranges
+                        if keys:
+                            rows.extend(
+                                (rid, k, pb[off : off + size])
+                                for k, (off, size, _) in enumerate(
+                                    keys[:: max(1, every_n)][:max_frames]
+                                )
+                            )
+                            continue
                     except Exception:
                         pass
                 # STAND-IN for codec-dependent containers (ffmpeg):
@@ -340,6 +374,62 @@ def audio_features(
                 columns=[
                     id_col, "sample_rate", "n_frames", "channels",
                     "duration_sec", "rms", "zero_cross_rate",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(op, schema=schema)
+
+
+def video_metadata(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "url"
+) -> DataFrame:
+    """Container-level video metadata over an MP4/MOV column:
+    (id, brand, duration_sec, n_tracks, width, height, n_samples,
+    n_keyframes) — the video twin of the JPEG header tier: everything
+    here comes from the stdlib BMFF box walk (codecs.parse_mp4_metadata),
+    no ffmpeg, no pixel decode.  Width/height/samples come from the first
+    video track; non-BMFF or corrupt payloads yield NULLs instead of
+    failing the batch."""
+    schema = (
+        f"{id_col} string, brand string, duration_sec double, "
+        f"n_tracks int, width int, height int, n_samples long, "
+        f"n_keyframes long"
+    )
+
+    from packs_spark.operators.codecs import parse_mp4_metadata
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    meta = parse_mp4_metadata(bytes(p))
+                except Exception:
+                    rows.append(
+                        (rid, None, None, None, None, None, None, None)
+                    )
+                    continue
+                vid = next(
+                    (t for t in meta["tracks"] if t["handler"] == "vide"),
+                    None,
+                )
+                rows.append(
+                    (
+                        rid,
+                        meta["brand"],
+                        meta["duration_s"],
+                        len(meta["tracks"]),
+                        vid["width"] if vid else None,
+                        vid["height"] if vid else None,
+                        vid["n_samples"] if vid else None,
+                        vid["n_keyframes"] if vid else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "brand", "duration_sec", "n_tracks", "width",
+                    "height", "n_samples", "n_keyframes",
                 ],
             )
 

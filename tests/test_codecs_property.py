@@ -162,3 +162,43 @@ def test_jpeg_header_never_crashes_on_garbage(data):
         return
     w, h, ncomp = res
     assert 0 <= w <= 65535 and 0 <= h <= 65535 and 0 <= ncomp <= 255
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_mp4_parser_never_crashes_on_garbage(data):
+    """Arbitrary bytes either parse or raise ValueError — never an
+    uncaught IndexError/struct.error/KeyError (dirty-corpus contract for
+    the per-row containment in the multimodal operators)."""
+    from packs_spark.operators.codecs import (
+        mp4_sample_ranges,
+        parse_mp4_metadata,
+    )
+
+    for fn in (parse_mp4_metadata, mp4_sample_ranges):
+        try:
+            fn(data)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=1200))
+def test_mp4_parser_never_crashes_on_corrupted_valid_file(data):
+    """A structurally valid fixture with arbitrary bytes spliced over its
+    middle (box sizes/sample tables corrupted in place) still only ever
+    raises ValueError."""
+    from packs_spark.operators.codecs import (
+        mp4_sample_ranges,
+        parse_mp4_metadata,
+    )
+    from tests.test_codecs import _mp4_fixture
+
+    blob, _, _ = _mp4_fixture()
+    start = min(16, len(blob) - 1)
+    spliced = blob[:start] + data + blob[start + len(data):]
+    for fn in (parse_mp4_metadata, mp4_sample_ranges):
+        try:
+            fn(spliced)
+        except ValueError:
+            pass
