@@ -601,6 +601,13 @@ def _sample_ranges_of_stbl(buf: bytes, stbl: tuple[int, int]) -> list:
         raise ValueError("incomplete sample table (stsz/stsc/stco)")
 
     fixed, n_samples = struct.unpack_from(">II", buf, stsz[0] + 4)
+    # a sample count exceeding the file's byte length is corrupt by
+    # construction — without this bound the fixed-size branch would
+    # allocate [fixed] * n_samples for a 32-bit garbage count (the
+    # per-sample branch is implicitly bounded by unpack_from validating
+    # 4 * n_samples against the buffer)
+    if n_samples > len(buf):
+        raise ValueError(f"stsz sample_count {n_samples} exceeds file size")
     sizes = (
         [fixed] * n_samples
         if fixed
@@ -629,6 +636,11 @@ def _sample_ranges_of_stbl(buf: bytes, stbl: tuple[int, int]) -> list:
     out = []
     sample = 0  # 0-based
     for run_i, (first_chunk, per_chunk) in enumerate(runs):
+        # chunks are 1-based (§8.7.4); a corrupt first_chunk of 0 would
+        # otherwise wrap offsets[-1] to the LAST chunk and return
+        # well-formed but wrong byte ranges instead of raising
+        if not 1 <= first_chunk <= n_chunks:
+            raise ValueError(f"stsc first_chunk {first_chunk} out of range")
         last_chunk = (
             runs[run_i + 1][0] - 1 if run_i + 1 < n_runs else n_chunks
         )

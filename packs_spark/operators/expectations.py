@@ -147,6 +147,28 @@ def _pct_at_least(mn: float):
     return lambda v, mn=mn: (v[1] or 0) > 0 and 100.0 * (v[0] or 0) / v[1] >= mn
 
 
+def _ratio_pred(
+    label: str,
+    column: str | None,
+    pred: Column,
+    cond: Column,
+    idx: int,
+    mostly: float,
+) -> _Compiled:
+    """ok/n scaffolding shared by the multi-column row expectations:
+    n counts rows satisfying ``cond`` (the complement of GX's
+    ignore_row_if), ok those also satisfying ``pred``; verdict is
+    ok/n >= mostly with a vacuous pass when no row qualifies."""
+    ok = F.sum((cond & pred).cast("long")).alias(f"c{idx}_ok")
+    n = F.sum(cond.cast("long")).alias(f"c{idx}_n")
+    return _Compiled(
+        label,
+        column,
+        [ok, n],
+        lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+    )
+
+
 def _mostly_pred(pred: Column, col: Column, idx: int, mostly: float) -> _Compiled:
     """Row-level expectation: fraction of NON-NULL rows satisfying pred
     must be >= mostly (GX ignores nulls for value expectations except
@@ -416,14 +438,12 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
     elif etype == "expect_column_pair_values_a_to_be_greater_than_b":
         a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
         pred = a >= b if kw.get("or_equal") else a > b
-        both = a.isNotNull() & b.isNotNull()
-        ok = F.sum((both & pred).cast("long")).alias(f"c{idx}_ok")
-        n = F.sum(both.cast("long")).alias(f"c{idx}_n")
-        out = _Compiled(
-            etype,
-            f"{kw['column_A']}~{kw['column_B']}",
-            [ok, n],
-            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        # GX pair default ignore_row_if="both_values_are_missing": a
+        # half-null pair IS evaluated (and can never satisfy pred)
+        any_nn = a.isNotNull() | b.isNotNull()
+        out = _ratio_pred(
+            etype, f"{kw['column_A']}~{kw['column_B']}",
+            a.isNotNull() & b.isNotNull() & pred, any_nn, idx, mostly,
         )
     elif etype == "expect_compound_columns_to_be_unique":
         cols = [F.col(x) for x in kw["column_list"]]
@@ -465,14 +485,12 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
         )
     elif etype == "expect_column_pair_values_to_be_equal":
         a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
-        both = a.isNotNull() & b.isNotNull()
-        ok = F.sum((both & (a == b)).cast("long")).alias(f"c{idx}_ok")
-        n = F.sum(both.cast("long")).alias(f"c{idx}_n")
-        out = _Compiled(
-            etype,
-            f"{kw['column_A']}~{kw['column_B']}",
-            [ok, n],
-            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        # ignore_row_if="both_values_are_missing" (GX pair default):
+        # (x, NULL) is evaluated and counts unexpected
+        out = _ratio_pred(
+            etype, f"{kw['column_A']}~{kw['column_B']}",
+            a.isNotNull() & b.isNotNull() & (a == b),
+            a.isNotNull() | b.isNotNull(), idx, mostly,
         )
     elif etype == "expect_column_values_to_match_like_pattern":
         out = _mostly_pred(
@@ -577,20 +595,17 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
     elif etype == "expect_multicolumn_sum_to_equal":
         cols = [F.col(x) for x in kw["column_list"]]
         want = kw["sum_total"]
-        all_nn = F.lit(True)
+        # ignore_row_if="all_values_are_missing" (GX default): a
+        # partially-null row IS evaluated, with the GX pandas backend's
+        # NaN-skipping sum — (4, NULL) sums to 4
+        any_nn = F.lit(False)
         total = F.lit(0)
         for x in cols:
-            all_nn = all_nn & x.isNotNull()
-            total = total + x
-        ok = F.sum((all_nn & (total == F.lit(want))).cast("long")).alias(
-            f"c{idx}_ok"
-        )
-        n = F.sum(all_nn.cast("long")).alias(f"c{idx}_n")
-        out = _Compiled(
-            etype,
-            ",".join(kw["column_list"]),
-            [ok, n],
-            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+            any_nn = any_nn | x.isNotNull()
+            total = total + F.coalesce(x, F.lit(0))
+        out = _ratio_pred(
+            etype, ",".join(kw["column_list"]),
+            total == F.lit(want), any_nn, idx, mostly,
         )
     elif etype == "expect_select_column_values_to_be_unique_within_record":
         # per-row distinctness of the selected columns; rows where every
@@ -604,29 +619,22 @@ def compile_expectation(df: DataFrame, idx: int, exp: dict) -> _Compiled:
         for x in cols:
             any_nn = any_nn | x.isNotNull()
         distinct_ok = F.size(F.array_distinct(arr)) == len(cols)
-        ok = F.sum((any_nn & distinct_ok).cast("long")).alias(f"c{idx}_ok")
-        n = F.sum(any_nn.cast("long")).alias(f"c{idx}_n")
-        out = _Compiled(
-            etype,
-            ",".join(kw["column_list"]),
-            [ok, n],
-            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        out = _ratio_pred(
+            etype, ",".join(kw["column_list"]), distinct_ok, any_nn,
+            idx, mostly,
         )
     elif etype == "expect_column_pair_values_to_be_in_set":
         a, b = F.col(kw["column_A"]), F.col(kw["column_B"])
-        both = a.isNotNull() & b.isNotNull()
         # Or-chain over the pair set (same InSet-JIT rationale as
-        # values_to_be_in_set)
+        # values_to_be_in_set); ignore_row_if="both_values_are_missing"
+        # — a half-null pair is evaluated and can never be in the set
         pred = F.lit(False)
         for pa, pb in kw["value_pairs_set"]:
             pred = pred | ((a == F.lit(pa)) & (b == F.lit(pb)))
-        ok = F.sum((both & pred).cast("long")).alias(f"c{idx}_ok")
-        n = F.sum(both.cast("long")).alias(f"c{idx}_n")
-        out = _Compiled(
-            etype,
-            f"{kw['column_A']}~{kw['column_B']}",
-            [ok, n],
-            lambda v, m=mostly: (v[1] or 0) == 0 or (v[0] or 0) / v[1] >= m,
+        out = _ratio_pred(
+            etype, f"{kw['column_A']}~{kw['column_B']}",
+            a.isNotNull() & b.isNotNull() & pred,
+            a.isNotNull() | b.isNotNull(), idx, mostly,
         )
     else:
         # reference behavior: silently skip unknown expectations

@@ -206,13 +206,16 @@ def frame_sample(
                         # keyframes are the samplable points; a stream
                         # with no sync table treats every sample as one
                         keys = [r for r in ranges if r[2]] or ranges
-                        if keys:
-                            rows.extend(
-                                (rid, k, pb[off : off + size])
-                                for k, (off, size, _) in enumerate(
-                                    keys[:: max(1, every_n)][:max_frames]
-                                )
+                        # same partial-append invariant as the GIF path:
+                        # build the full list before extending rows
+                        mp4_rows = [
+                            (rid, k, pb[off : off + size])
+                            for k, (off, size, _) in enumerate(
+                                keys[:: max(1, every_n)][:max_frames]
                             )
+                        ]
+                        if mp4_rows:
+                            rows.extend(mp4_rows)
                             continue
                     except Exception:
                         pass

@@ -1328,8 +1328,7 @@ _GX_SUITE = [
     # round-4 tranche 3 — lengths-equal, regex lists, parseability,
     # multicolumn row predicates, pair membership; constants again chosen
     # for sf-independent verdicts (o_orderstatus is 1 char, priorities
-    # are '<digit>-WORD', o_shippriority is the constant 0, and key sums
-    # can never be 3 on every row)
+    # are '<digit>-WORD', and key sums can never be 3 on every row)
     {"expectation_type": "expect_table_column_count_to_equal",
      "kwargs": {"value": 6}},
     {"expectation_type": "expect_column_value_lengths_to_equal",

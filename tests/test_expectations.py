@@ -208,7 +208,8 @@ def test_gx_round3_types(spark):
         True,   # median(10,20,40,50) = 30
         True,   # q25=17.5∈[10,20] (cont), q75=42.5∈[40,50]
         False,  # q25 not in [45,50]
-        True,   # every non-null val > id
+        False,  # (None, 3) counts unexpected (both_values_are_missing
+                # is the only ignored shape) -> 4/5 < 1.0
         True,   # (id,cat) pairs unique
         True,   # exactly 3 columns
         False,  # fewer than 5 columns
@@ -502,3 +503,43 @@ def test_gx_round4_tranche3_types(spark):
         True, False,          # unique within record
         True, True,           # pair in set
     ]
+
+
+def test_multicolumn_null_semantics_match_gx_defaults(spark):
+    """GX ignore_row_if defaults: multicolumn sum uses
+    all_values_are_missing (a partially-null row IS evaluated, with the
+    pandas backend's NaN-skipping sum), pair ops use
+    both_values_are_missing (a half-null pair is evaluated and counts
+    unexpected)."""
+    pdf = pd.DataFrame(
+        {
+            "a": [4.0, 2.0, None, None],
+            "b": [1.0, 3.0, 5.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = evaluate_suite(
+        df,
+        [
+            # rows evaluated: (4,1)=5 ok, (2,3)=5 ok, (None,5)=5 ok
+            # (NaN-skipping sum); all-null row ignored -> PASS
+            {"expectation_type": "expect_multicolumn_sum_to_equal",
+             "kwargs": {"column_list": ["a", "b"], "sum_total": 5}},
+            # half-null pair (None,5) is evaluated and not in set -> only
+            # 2 of 3 qualifying rows pass
+            {"expectation_type": "expect_column_pair_values_to_be_in_set",
+             "kwargs": {"column_A": "a", "column_B": "b",
+                        "value_pairs_set": [[4.0, 1.0], [2.0, 3.0]]}},
+            {"expectation_type": "expect_column_pair_values_to_be_in_set",
+             "kwargs": {"column_A": "a", "column_B": "b",
+                        "value_pairs_set": [[4.0, 1.0], [2.0, 3.0]],
+                        "mostly": 0.66}},
+            # same contract for pair equality: (None,5) counts unexpected
+            {"expectation_type": "expect_column_pair_values_to_be_equal",
+             "kwargs": {"column_A": "a", "column_B": "a"}},
+            {"expectation_type":
+                 "expect_column_pair_values_a_to_be_greater_than_b",
+             "kwargs": {"column_A": "a", "column_B": "b", "mostly": 0.3}},
+        ],
+    )
+    assert [r["success"] for r in res] == [True, False, True, True, True]
