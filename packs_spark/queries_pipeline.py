@@ -654,9 +654,10 @@ def q_fingerprint_clusters(spark, sf_dir):
     oracle="""
 WITH p AS (
   SELECT doc_id,
-    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                    WHEN 2 THEN 'gif' ELSE 'riff' END AS format,
-    CASE doc_id % 4 WHEN 1 THEN 3 ELSE 4 END
+    CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' WHEN 3 THEN 'riff'
+                    ELSE 'mp4' END AS format,
+    CASE doc_id % 5 WHEN 1 THEN 3 WHEN 4 THEN 8 ELSE 4 END
       + octet_length(encode(text)) AS n_bytes
   FROM documents WHERE text IS NOT NULL
 )
@@ -669,18 +670,23 @@ FROM p GROUP BY format
 )
 def q_multimodal_metadata(spark, sf_dir):
     """Binary-column plumbing end-to-end: plant a deterministic container
-    magic (by doc_id % 4) in front of the UTF-8 text bytes, then run the
-    Arrow-batched mapInPandas metadata extractor (sniff + byte-histogram
-    features) and verify the sniffer recovers the planted format and the
-    byte counts/L1-normalized features are exact."""
+    magic (by doc_id % 5) in front of the UTF-8 text bytes — including
+    the BMFF shape, whose 'ftyp' signature sits after the 4-byte box
+    size — then run the Arrow-batched mapInPandas metadata extractor
+    (sniff + byte-histogram features) and verify the sniffer recovers
+    the planted format and the byte counts/L1-normalized features are
+    exact."""
     from packs_spark.operators.multimodal import extract_metadata
 
     df = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    magics = [b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF"]
+    magics = [
+        b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF",
+        b"\x00\x00\x00\x08ftyp",  # minimal BMFF: size-8 ftyp box header
+    ]
     payload = F.concat(
         F.element_at(
             F.array(*[F.lit(m) for m in magics]),
-            (F.col("doc_id") % 4 + 1).cast("int"),
+            (F.col("doc_id") % 5 + 1).cast("int"),
         ),
         F.encode(F.col("text"), "UTF-8"),
     )
